@@ -1,0 +1,18 @@
+"""Test configuration: force CPU JAX with a virtual 8-device mesh and x64.
+
+Tests never require TPU hardware: sharding is validated on a host-platform
+8-device mesh, and numeric comparisons against the oracle run the engine in
+'exact' (f64-phase) mode on CPU.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
