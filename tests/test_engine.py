@@ -1,0 +1,246 @@
+"""Differential tests: the JAX block engine vs the NumPy oracle.
+
+Every waveform is rendered by the oracle (sample-exact reference semantics)
+and by the engine in 'exact' precision across several block sizes; outputs
+must agree in both length and value.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from tuun_tpu import engine, ir, oracle, optimizer
+from tuun_tpu.engine import EngineConfig, compile_voice
+from tuun_tpu.evaluator import Evaluator
+from tuun_tpu.expr import ESeq, EWaveform
+from tuun_tpu.ir import (Alt, Append, BinaryPointOp, Const, Filter, Fin,
+                         Fixed, Marked, Noise, Operator, Reset, Sine, Time)
+
+from pathlib import Path
+
+STDLIB = Path(__file__).resolve().parent.parent / "tuun_tpu" / "stdlib" / "v0"
+
+
+def sub_time(c):
+    return BinaryPointOp(Operator.SUBTRACT, Time(), Const(c))
+
+
+def sin_waveform(freq_hz, phase):
+    return Sine(BinaryPointOp(Operator.MULTIPLY, Const(math.tau),
+                              Const(freq_hz)), Const(phase))
+
+
+def diff_test(w, n, sr=1, atol=1e-6, blocks=(7, 16, 64), optimize=True,
+              seed=0, jit=False):
+    forms = [w, optimizer.optimize(w)] if optimize else [w]
+    ref = oracle.render(w, n, sr, seed=seed)
+    for form in forms:
+        for b in blocks:
+            got = engine.render(form, n, sr, precision="exact", seed=seed,
+                                block=b, jit=jit)
+            assert len(got) == len(ref), (
+                f"length {len(got)} != {len(ref)} (block={b}) for {form}")
+            np.testing.assert_allclose(
+                got, ref, atol=atol, rtol=1e-5,
+                err_msg=f"block={b} on {form}")
+    return ref
+
+
+def test_const_time_fixed():
+    diff_test(Const(3.5), 20)
+    diff_test(Time(), 20)
+    diff_test(Fixed([1, 2, 3, 4, 5]), 10)
+    diff_test(Fixed([]), 10)
+
+
+def test_noise_bit_identical():
+    w = Noise()
+    ref = oracle.render(w, 100, 1, seed=42)
+    got = engine.render(w, 100, 1, precision="exact", seed=42, block=13)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_binary_ops():
+    diff_test(BinaryPointOp(Operator.ADD, Const(1.0), Const(2.0)), 10)
+    diff_test(BinaryPointOp(Operator.ADD, Fixed([1, 2, 3]), Const(10.0)), 10)
+    diff_test(BinaryPointOp(Operator.ADD, Fixed([1, 2]),
+                            Fixed([10, 20, 30])), 10)
+    diff_test(BinaryPointOp(Operator.MERGE, Fixed([1, 2]),
+                            Fixed([10, 20, 30])), 10)
+    diff_test(BinaryPointOp(Operator.MERGE, Fixed([1, 2]), Const(10.0)), 10)
+    diff_test(BinaryPointOp(Operator.MULTIPLY, Fixed([3, 4]),
+                            Fixed([2, 5, 1])), 10)
+    diff_test(BinaryPointOp(Operator.DIVIDE, Fixed([4, 9]),
+                            Fixed([2.0, 0.0])), 10)
+    diff_test(BinaryPointOp(Operator.POWER, Fixed([2, 3, 4]), Const(2.0)), 10)
+    diff_test(BinaryPointOp(Operator.SUBTRACT, Time(), Const(3.0)), 10)
+
+
+def test_append():
+    diff_test(Append(Fixed([1.0] * 3), Fixed([2.0] * 3)), 10)
+    diff_test(Append(Fixed([]), Fixed([2.0] * 3)), 10)
+    diff_test(Append(Fin(sub_time(3.0), Const(1.0)), Const(0.5)), 10)
+    # nested appends
+    diff_test(Append(Append(Fixed([1]), Fixed([2])), Fixed([3, 4])), 10)
+
+
+def test_fin_symbolic():
+    diff_test(Fin(sub_time(4.0), Const(3.0)), 10)
+    diff_test(Fin(sub_time(0.0), Const(3.0)), 10, optimize=False)
+    diff_test(Fin(BinaryPointOp(Operator.ADD, Time(), Const(-5.0)), Time()), 10)
+    # Fin bounded by a shorter inner
+    diff_test(Fin(sub_time(8.0), Fixed([1, 2, 3])), 10)
+
+
+def test_fin_value_path():
+    # Dynamic (Marked) length forces the generate-and-scan fallback.
+    w = BinaryPointOp(
+        Operator.MULTIPLY, Const(2.0),
+        Append(Fin(BinaryPointOp(Operator.SUBTRACT, Time(),
+                                 Marked(1, Const(4.0))), Const(1.0)),
+               Fixed([1.0, 0.75, 0.5, 0.25])))
+    diff_test(w, 8)
+
+
+def test_sine():
+    diff_test(sin_waveform(0.25, 0.0), 16)
+    diff_test(sin_waveform(1.0, 0.0), 100, sr=44100)
+    # dynamic frequency
+    w = Sine(BinaryPointOp(Operator.MULTIPLY,
+                           BinaryPointOp(Operator.ADD, Time(), Const(10.0)),
+                           Const(math.tau)), Const(0.0))
+    diff_test(w, 100, sr=44100)
+    # dynamic phase (PM)
+    w = Sine(Const(math.tau * 100), sin_waveform(5.0, 0.0))
+    diff_test(w, 200, sr=1000)
+    # finite phase truncates
+    diff_test(Sine(Const(0.0), Fixed([0.5])), 5, optimize=False)
+
+
+def test_filter_fir():
+    diff_test(Filter(Time(), (Const(2.0),) * 3, ()), 8)
+    diff_test(Filter(Fin(sub_time(5.0), Time()), (Const(2.0),) * 3, ()), 8)
+    diff_test(Filter(Fin(sub_time(8.0), Time()), (Const(2.0),) * 5, ()), 8)
+    diff_test(Filter(Const(1.0), (Const(0.2),) * 5, ()), 8)
+    diff_test(Filter(Fixed([1.0] * 3),
+                     (Const(1.0), Fixed([2.0]), Fixed([3.0, 3.0])), ()), 8)
+    diff_test(Filter(Const(1.0), (Const(1.0), Time()), ()), 8)
+
+
+def test_filter_iir():
+    diff_test(Filter(Time(), (Const(0.5),), (Const(-0.5),)), 8)
+    diff_test(Filter(Filter(Time(), (Const(0.5),), (Const(-0.5),)),
+                     (Const(0.4),), (Const(-0.6),)), 8, atol=1e-5)
+    # biquad with time-varying coefficient
+    diff_test(Filter(Time(), (Const(0.3), Const(0.2), Const(0.1)),
+                     (Const(-0.4), Const(0.05))), 32, atol=1e-5)
+
+
+def test_reset_relocatable():
+    diff_test(Reset(sin_waveform(0.25, 0.0), Time()), 16)
+    diff_test(Reset(Fin(sub_time(6.0), sin_waveform(0.25, 0.0)), Time()), 10)
+    diff_test(Reset(sin_waveform(0.25, 0.0), Fin(sub_time(3.0), Time())), 16)
+    diff_test(Reset(sin_waveform(0.25, math.pi), Time()), 16)
+
+
+def test_reset_stateful_inner():
+    # Inner with a Sine whose frequency is non-const -> scan tier.
+    chirp = Sine(BinaryPointOp(Operator.MULTIPLY, Time(), Const(math.tau)),
+                 Const(0.0))
+    diff_test(Reset(sin_waveform(0.125, 0.0), chirp), 24, atol=1e-5)
+
+
+def test_alt():
+    diff_test(Alt(sin_waveform(0.25, 0.0), Const(1.0), Const(-1.0)), 16)
+    diff_test(Alt(sin_waveform(0.25, 0.0), Time(),
+                  BinaryPointOp(Operator.MULTIPLY, Time(), Const(-1.0))), 16)
+
+
+def test_marked_captured():
+    diff_test(Marked("x", Fixed([1, 2, 3])), 5)
+    w = Captured = ir.Captured("stem", Fixed([1, 2, 3]))
+    diff_test(w, 5)
+
+
+def test_capture_collection():
+    from tuun_tpu.engine import CompiledVoice
+    w = BinaryPointOp(Operator.MULTIPLY, ir.Captured("inner", Time()),
+                      Const(2.0))
+    cfg = EngineConfig(1, "exact", jit=False)
+    voice = CompiledVoice(w, cfg)
+    P = voice.params()
+    st = voice.init(P)
+    y, v, st, caps = voice.render_block(P, st, 8)
+    assert "inner" in caps
+    cy, cs, cv = caps["inner"]
+    np.testing.assert_allclose(np.asarray(cy), np.arange(8, dtype=np.float32))
+
+
+# ---------------------------------------------------------------------------
+# corpus differential tests
+# ---------------------------------------------------------------------------
+
+
+def corpus_diff(text, n, sr=100, tempo=60, atol=1e-5, blocks=(64,)):
+    ev = Evaluator(sr, tempo, STDLIB)
+    out = ev.evaluate_source(text, opens=("std",))
+    if isinstance(out, ESeq):
+        w = out.waveform.waveform
+    else:
+        assert isinstance(out, EWaveform)
+        w = out.waveform
+    w = optimizer.optimize(w)
+    ref = oracle.render(w, n, sr)
+    for b in blocks:
+        got = engine.render(w, n, sr, precision="exact", block=b, jit=False)
+        assert len(got) == len(ref), f"len {len(got)} != {len(ref)}"
+        np.testing.assert_allclose(got, ref, atol=atol, rtol=1e-4)
+    return ref
+
+
+def test_corpus_oscillators():
+    corpus_diff("$10", 200)
+    corpus_diff("sawtooth(10)", 200)
+    corpus_diff("square(10)", 200)
+    corpus_diff("triangle(10)", 200)
+    corpus_diff("pulse(0.5, 10)", 200)
+    corpus_diff("pulse(0.25, 5) * 0.5 + $10 * 0.5", 200)
+
+
+def test_corpus_notes_and_envelopes():
+    corpus_diff("$10 * Qw", 150)
+    corpus_diff("$10 | ADSR(0.1, 0.1, 0.5, 0.2, 0.1)", 100)
+    corpus_diff("<[$10 * Qw, $15 * Qw]>", 250)
+
+
+def test_corpus_dtmf():
+    corpus_diff("{[$697, $1209]} | fin(time - 1) | seq(time - 1)", 150,
+                sr=100)
+
+
+def test_corpus_fm_pm():
+    corpus_diff("let fc = 30, I = 6, D = 1, fm = D/2 * fc in "
+                "sine(2*pi*(fc + (I * fm * sine(2*pi*fm, pi/2))), 0)"
+                " | fin(time - 1)", 120, sr=100)
+    corpus_diff("let fc = 30, I = 6, D = 1, fm = D/2 * fc in "
+                "sine(2*pi*fc, I * sine(2*pi*fm, 0)) | fin(time - 1)",
+                120, sr=100)
+
+
+def test_corpus_lpf():
+    corpus_diff("square(10) | lpf(0.707, 20)", 200, atol=1e-4)
+
+
+def test_corpus_noise():
+    corpus_diff("noise * 0.2 | fin(time - 1)", 120)
+
+
+def test_corpus_pm_brass():
+    ev = Evaluator(100, 60, STDLIB)
+    out = ev.evaluate_source("pm_brass(30, 0.5)", opens=("std", "pm_synth"))
+    w = optimizer.optimize(out.waveform)
+    ref = oracle.render(w, 100, 100)
+    got = engine.render(w, 100, 100, precision="exact", block=32, jit=False)
+    assert len(got) == len(ref)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)

@@ -1,0 +1,1001 @@
+"""Compiles Waveform IR into JAX block-render programs.
+
+This is the TPU-native replacement for the reference's pull-based per-sample
+interpreter (generator.rs): instead of mutable node state and per-sample
+loops, each waveform compiles into a pure function
+
+    render(params, state, s, e) -> (samples[N], valid_end, state')
+
+over fixed-size blocks of N lanes.  `[s, e)` is the active interval within
+the block (intervals, not arbitrary masks: every reference length rule —
+Append offsets, Fin truncation, Add/Merge combination — produces contiguous
+prefixes).  All control flow becomes interval arithmetic on traced int32
+scalars, so XLA sees a single static-shaped program that jits once per graph
+*structure*: every Const leaf is lifted into a parameter vector, which means
+slider moves, Modify splices of equal shape, and per-voice frequency changes
+re-use the compiled executable (this replaces the reference's tree
+substitution, cf. tracker.rs Modify).
+
+Design notes (mirroring generator.rs semantics; see tuun_tpu.oracle for the
+per-sample ground truth):
+  * Sine integrates instantaneous frequency with a carried accumulator:
+    f64 in 'exact' precision (bit-comparable with the oracle on CPU), f32
+    with per-block mod-tau reduction in 'fast' (TPU) precision.
+  * Filter keeps a K-1 input delay line and J-deep output history; the
+    feed-forward part is a vectorized K-tap correlation (bit-exact op order
+    vs the oracle), the feedback recurrence is either a sequential lax.scan
+    (exact) or a parallel associative scan over J-dim affine maps (fast).
+  * Fin resolves lengths symbolically when the length waveform is linear in
+    Time (mirroring optimizer::first_root / greater_or_equals_at), and
+    otherwise renders the length waveform and finds the first non-negative
+    lane — the reference's generate-and-scan fallback, vectorized.
+  * Reset computes trigger sign-crossings vectorially; a "relocatable"
+    inner (a pure function of time-since-reset: Const/Time/Noise/Fixed/
+    const-frequency Sine/envelope chains) is evaluated directly at the
+    per-lane local age; a stateful inner falls back to a per-sample
+    lax.scan that re-initializes the inner's state at each edge.
+  * `advance` mirrors generator.rs::length(): it moves Position-style
+    state forward without touching Phase/Samples state.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ir
+from ..noisegen import noise_jnp
+
+TAU = math.tau
+BIG = jnp.int32(2 ** 30)
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+
+@dataclass
+class EngineConfig:
+    sample_rate: int
+    precision: str = "exact"  # "exact" (f64 phase, sequential IIR) | "fast"
+    seed: int = 0
+    jit: bool = True  # False: eager execution (fast small-scale testing)
+
+    @property
+    def phase_dtype(self):
+        return jnp.float64 if self.precision == "exact" else jnp.float32
+
+    @property
+    def sequential_iir(self) -> bool:
+        return self.precision == "exact"
+
+
+@dataclass
+class Params:
+    """Per-voice runtime parameters for one compiled structure."""
+
+    consts: jnp.ndarray          # f32[n_consts] — lifted Const leaf values
+    fixeds: Tuple[jnp.ndarray, ...]  # payloads of Fixed nodes
+    seed: jnp.ndarray            # uint32 scalar — noise stream id
+
+
+jax.tree_util.register_pytree_node(
+    Params,
+    lambda p: ((p.consts, p.fixeds, p.seed), None),
+    lambda _, ch: Params(*ch))
+
+
+class Ctx:
+    """Per-trace context for one block render."""
+
+    def __init__(self, n: int, allow_captures: bool = True):
+        self.n = n
+        self.idx = jnp.arange(n, dtype=jnp.int32)
+        # stem -> (samples[N], start, end) accumulated during the trace
+        self.captures: Dict[str, Tuple] = {}
+        self.allow_captures = allow_captures
+
+
+def _mask(ctx: Ctx, s, e):
+    return (ctx.idx >= s) & (ctx.idx < e)
+
+
+def _ceil_target(c, sample_rate: int):
+    """ceil(c * sr) with f32 arithmetic (generator.rs:813)."""
+    return jnp.ceil(f32(c) * f32(sample_rate)).astype(i32)
+
+
+# ---------------------------------------------------------------------------
+# Node compilers
+# ---------------------------------------------------------------------------
+
+
+class Node:
+    """A compiled IR node: init / render / advance plus optional reloc."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+
+    def init(self, P: Params):
+        raise NotImplementedError
+
+    def render(self, P, st, s, e, ctx: Ctx):
+        raise NotImplementedError
+
+    def advance(self, P, st, s, e, ctx: Ctx):
+        """length()-style advancement: returns (valid_end, state')."""
+        raise NotImplementedError
+
+    # reloc: None, or fn(P, local_idx[N]) -> (samples[N], valid[N] bool)
+    reloc: Optional[Callable] = None
+
+    # const_expr: None, or fn(P) -> scalar f32 (is_const semantics)
+    const_expr: Optional[Callable] = None
+
+
+class CConst(Node):
+    def __init__(self, cfg, index: int):
+        super().__init__(cfg)
+        self.index = index
+        self.const_expr = lambda P: P.consts[index]
+        self.reloc = lambda P, li: (
+            jnp.broadcast_to(P.consts[index], li.shape), li >= 0)
+
+    def init(self, P):
+        return ()
+
+    def render(self, P, st, s, e, ctx):
+        y = jnp.where(_mask(ctx, s, e), P.consts[self.index], 0.0)
+        return y.astype(f32), e, st
+
+    def advance(self, P, st, s, e, ctx):
+        return e, st
+
+
+class CTime(Node):
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        sr = f32(cfg.sample_rate)
+        self.reloc = lambda P, li: (li.astype(f32) / sr, li >= 0)
+
+    def init(self, P):
+        return (jnp.int32(0),)
+
+    def render(self, P, st, s, e, ctx):
+        pos = st[0]
+        local = pos + ctx.idx - s
+        y = jnp.where(_mask(ctx, s, e),
+                      local.astype(f32) / f32(self.cfg.sample_rate), 0.0)
+        return y, e, (pos + jnp.maximum(e - s, 0),)
+
+    def advance(self, P, st, s, e, ctx):
+        return e, (st[0] + jnp.maximum(e - s, 0),)
+
+
+class CNoise(Node):
+    def __init__(self, cfg, uid: int):
+        super().__init__(cfg)
+        self.uid = uid
+        self.reloc = lambda P, li: (
+            noise_jnp(P.seed, jnp.uint32(uid), jnp.maximum(li, 0)), li >= 0)
+
+    def init(self, P):
+        return (jnp.int32(0),)
+
+    def render(self, P, st, s, e, ctx):
+        pos = st[0]
+        local = jnp.maximum(pos + ctx.idx - s, 0)
+        y = jnp.where(_mask(ctx, s, e),
+                      noise_jnp(P.seed, jnp.uint32(self.uid), local), 0.0)
+        return y, e, (pos + jnp.maximum(e - s, 0),)
+
+    def advance(self, P, st, s, e, ctx):
+        return e, (st[0] + jnp.maximum(e - s, 0),)
+
+
+class CFixed(Node):
+    def __init__(self, cfg, index: int, length: int):
+        super().__init__(cfg)
+        self.index = index
+        self.length = length
+
+        def reloc(P, li):
+            data = P.fixeds[index]
+            safe = jnp.clip(li, 0, max(length - 1, 0))
+            if length == 0:
+                return jnp.zeros(li.shape, f32), jnp.zeros(li.shape, bool)
+            return data[safe], (li >= 0) & (li < length)
+        self.reloc = reloc
+
+    def init(self, P):
+        return (jnp.int32(0),)
+
+    def render(self, P, st, s, e, ctx):
+        pos = st[0]
+        L = self.length
+        li = pos + ctx.idx - s
+        take = jnp.clip(L - pos, 0, jnp.maximum(e - s, 0))
+        v = s + take
+        if L == 0:
+            y = jnp.zeros(ctx.n, f32)
+        else:
+            data = P.fixeds[self.index]
+            safe = jnp.clip(li, 0, L - 1)
+            y = jnp.where(_mask(ctx, s, v), data[safe], 0.0)
+        return y, v, (pos + take,)
+
+    def advance(self, P, st, s, e, ctx):
+        pos = st[0]
+        take = jnp.clip(self.length - pos, 0, jnp.maximum(e - s, 0))
+        return s + take, (pos + take,)
+
+
+class CAppend(Node):
+    def __init__(self, cfg, a: Node, b: Node):
+        super().__init__(cfg)
+        self.a, self.b = a, b
+        # Relocatable iff a has a static finite length and both sides reloc.
+        if a.reloc is not None and b.reloc is not None and \
+                a.static_len is not None:
+            def reloc(P, li):
+                la = a.static_len(P)
+                ya, va = a.reloc(P, li)
+                yb, vb = b.reloc(P, li - la)
+                in_a = li < la
+                return (jnp.where(in_a, ya, yb),
+                        jnp.where(in_a, va, vb))
+            self.reloc = reloc
+
+    def init(self, P):
+        return (jnp.bool_(False), self.a.init(P), self.b.init(P))
+
+    def render(self, P, st, s, e, ctx):
+        a_done, sa, sb = st
+        ea = jnp.where(a_done, s, e)
+        ya, va, sa = self.a.render(P, sa, s, ea, ctx)
+        a_done = a_done | (va < ea)
+        bs = jnp.where(va < e, va, e)
+        yb, vb, sb = self.b.render(P, sb, bs, e, ctx)
+        return ya + yb, jnp.where(va < e, vb, va), (a_done, sa, sb)
+
+    def advance(self, P, st, s, e, ctx):
+        a_done, sa, sb = st
+        ea = jnp.where(a_done, s, e)
+        va, sa = self.a.advance(P, sa, s, ea, ctx)
+        a_done = a_done | (va < ea)
+        bs = jnp.where(va < e, va, e)
+        vb, sb = self.b.advance(P, sb, bs, e, ctx)
+        return jnp.where(va < e, vb, va), (a_done, sa, sb)
+
+
+class CBinary(Node):
+    def __init__(self, cfg, op: ir.Operator, a: Node, b: Node):
+        super().__init__(cfg)
+        self.op, self.a, self.b = op, a, b
+        if a.const_expr is not None and b.const_expr is not None:
+            ca, cb = a.const_expr, b.const_expr
+            self.const_expr = lambda P: _apply_op_scalar(op, ca(P), cb(P))
+        if a.reloc is not None and b.reloc is not None:
+            def reloc(P, li):
+                ya, va = a.reloc(P, li)
+                yb, vb = b.reloc(P, li)
+                if op == ir.Operator.MERGE:
+                    v = va | vb
+                    y = jnp.where(va, ya, 0.0) + jnp.where(vb, yb, 0.0)
+                else:
+                    v = va & vb
+                    y = jnp.where(v, _apply_op(op, ya, yb), 0.0)
+                return y, v
+            self.reloc = reloc
+
+    def init(self, P):
+        return (self.a.init(P), self.b.init(P))
+
+    def render(self, P, st, s, e, ctx):
+        sa, sb = st
+        ya, va, sa = self.a.render(P, sa, s, e, ctx)
+        merge = self.op == ir.Operator.MERGE
+        eb = e if merge else va
+        yb, vb, sb = self.b.render(P, sb, s, eb, ctx)
+        if merge:
+            v = jnp.maximum(va, vb)
+            y = ya + yb  # both already zero-extended outside their valid runs
+        else:
+            v = jnp.minimum(va, vb)
+            y = jnp.where(_mask(ctx, s, v), _apply_op(self.op, ya, yb), 0.0)
+        return y, v, (sa, sb)
+
+    def advance(self, P, st, s, e, ctx):
+        sa, sb = st
+        va, sa = self.a.advance(P, sa, s, e, ctx)
+        vb, sb = self.b.advance(P, sb, s, e, ctx)
+        v = jnp.maximum(va, vb) if self.op == ir.Operator.MERGE \
+            else jnp.minimum(va, vb)
+        return v, (sa, sb)
+
+
+class CSine(Node):
+    def __init__(self, cfg, freq: Node, phase: Node):
+        super().__init__(cfg)
+        self.freq, self.phase = freq, phase
+        # Relocatable when the frequency is a constant expression and the
+        # phase is relocatable: closed-form DDS phase (n * w/sr) mod tau.
+        if freq.const_expr is not None and phase.reloc is not None:
+            pd = cfg.phase_dtype
+            sr = cfg.sample_rate
+
+            def reloc(P, li):
+                inc = freq.const_expr(P).astype(pd) / pd(sr)
+                yp, vp = phase.reloc(P, li)
+                acc = jnp.mod(li.astype(pd) * inc, pd(TAU))
+                y = jnp.sin(acc + yp.astype(pd)).astype(f32)
+                return jnp.where(vp, y, 0.0), vp
+            self.reloc = reloc
+
+    def init(self, P):
+        return (jnp.zeros((), self.cfg.phase_dtype),
+                self.freq.init(P), self.phase.init(P))
+
+    def render(self, P, st, s, e, ctx):
+        acc, sf, sp = st
+        pd = self.cfg.phase_dtype
+        yf, vf, sf = self.freq.render(P, sf, s, e, ctx)
+        yp, vp, sp = self.phase.render(P, sp, s, vf, ctx)
+        inc = jnp.where(_mask(ctx, s, vf), yf, 0.0).astype(pd) / \
+            pd(self.cfg.sample_rate)
+        pre = jnp.cumsum(inc) - inc  # exclusive prefix of phase increments
+        y = jnp.sin(acc + pre + yp.astype(pd)).astype(f32)
+        y = jnp.where(_mask(ctx, s, vp), y, 0.0)
+        acc = jnp.mod(acc + jnp.sum(inc), pd(TAU))
+        return y, vp, (acc, sf, sp)
+
+    def advance(self, P, st, s, e, ctx):
+        acc, sf, sp = st
+        vf, sf = self.freq.advance(P, sf, s, e, ctx)
+        vp, sp = self.phase.advance(P, sp, s, e, ctx)
+        return jnp.minimum(vf, vp), (acc, sf, sp)
+
+
+class CFilter(Node):
+    def __init__(self, cfg, inner: Node, ffs: List[Node], fbs: List[Node],
+                 ff_consts: List[Optional[Callable]],
+                 fb_consts: List[Optional[Callable]]):
+        super().__init__(cfg)
+        self.inner = inner
+        self.ffs, self.fbs = ffs, fbs
+        self.ff_consts, self.fb_consts = ff_consts, fb_consts
+        self.K = len(ffs)
+        self.J = len(fbs)
+
+    def init(self, P):
+        inner_st = self.inner.init(P)
+        K, J = self.K, self.J
+        delay = jnp.zeros((max(K - 1, 1),), f32)
+        real = jnp.int32(0)
+        if K > 1:
+            # Prime the input delay line with the first K-1 inner samples
+            # (generator.rs:223-252). Uses a tiny static block.
+            pctx = Ctx(K - 1)
+            y, v, inner_st = self.inner.render(P, inner_st, jnp.int32(0),
+                                               jnp.int32(K - 1), pctx)
+            delay = y
+            real = v
+        hist = jnp.zeros((max(J, 1),), f32)
+        return (delay, real, hist, inner_st,
+                tuple(c.init(P) for c in self.ffs),
+                tuple(c.init(P) for c in self.fbs))
+
+    def render(self, P, st, s, e, ctx):
+        delay, real, hist, si, sffs, sfbs = st
+        K, J = self.K, self.J
+        idx = ctx.idx
+
+        wy, wv, si = self.inner.render(P, si, s, e, ctx)
+        out_end = jnp.minimum(e, wv + real)
+
+        # Per-lane coefficient values (constants skip rendering entirely).
+        ff_vals, sffs = self._coeffs(P, self.ffs, self.ff_consts, sffs,
+                                     s, out_end, ctx)
+        fb_vals, sfbs = self._coeffs(P, self.fbs, self.fb_consts, sfbs,
+                                     s, out_end, ctx)
+
+        # Feed-forward: y_ff[i] = sum_m b_m[i] * w_stream[i - m], where the
+        # current block's w lanes run K-1 samples ahead and lanes before s
+        # come from the carried delay line. Accumulation order matches the
+        # oracle bit-for-bit (x*b0, then += b_m * w in m order).
+        acc = wy * ff_vals[0]
+        for m in range(1, K):
+            shifted = jnp.roll(wy, m)
+            if K > 1:
+                d = idx - m - s  # negative -> delay line
+                dval = delay[jnp.clip((K - 1) + d, 0, K - 2)]
+                shifted = jnp.where(d < 0, dval, shifted)
+            acc = acc + ff_vals[m] * shifted
+
+        live = _mask(ctx, s, out_end)
+        acc = jnp.where(live, acc, 0.0)
+
+        if J > 0:
+            y, hist = self._feedback(acc, fb_vals, hist, live)
+        else:
+            y = acc
+
+        # Carry the next output window's K-1 preceding *extended-stream*
+        # samples: the delay line advances with the output cursor, so it can
+        # contain zero-extension zeros once the inner has ended (mirroring
+        # the deque pushes in generator.rs:482-513).
+        if K > 1:
+            lanes = out_end - (K - 1) + jnp.arange(K - 1, dtype=i32)
+            wvals = wy[jnp.clip(lanes, 0, ctx.n - 1)]  # zero beyond wv
+            dvals = delay[jnp.clip((K - 1) + lanes - s, 0, K - 2)]
+            delay = jnp.where(lanes < s, dvals, wvals)
+        real = jnp.clip(real + wv - out_end, 0, K - 1)
+        return y, out_end, (delay, real, hist, si, sffs, sfbs)
+
+    def _coeffs(self, P, nodes, consts, states, s, out_end, ctx):
+        vals = []
+        new_states = []
+        for node, cexpr, st in zip(nodes, consts, states):
+            if cexpr is not None:
+                vals.append(jnp.broadcast_to(cexpr(P), (ctx.n,)).astype(f32))
+                new_states.append(st)
+            else:
+                y, v, st = node.render(P, st, s, out_end, ctx)
+                vals.append(y)  # zero-extended when the coefficient runs out
+                new_states.append(st)
+        return vals, tuple(new_states)
+
+    def _feedback(self, ff, fb_vals, hist, live):
+        """y[i] = ff[i] - sum_j a_j[i] * y[i-1-j].
+
+        hist[j] = y[-1-j] (newest first). Exact mode: sequential lax.scan
+        with reference op order. Fast mode: parallel associative scan over
+        affine maps of the J-dim history vector.
+        """
+        J = self.J
+        n = ff.shape[0]
+        if self.cfg.sequential_iir:
+            def step(h, xs):
+                f, a_row, lv = xs
+                acc = f
+                for j in range(J):
+                    acc = acc - a_row[j] * h[j]
+                acc = jnp.where(lv, acc, 0.0)
+                h_new = jnp.where(lv, jnp.concatenate(
+                    [acc[None], h[:-1]]) if J > 1 else acc[None], h)
+                return h_new, acc
+            a_rows = jnp.stack(fb_vals, axis=1)  # [N, J]
+            hist_out, y = jax.lax.scan(step, hist[:J], (ff, a_rows, live))
+            return y, _pad_hist(hist_out, J)
+        # Parallel: h_i = A_i h_{i-1} + b_i with companion matrices.
+        a_rows = jnp.stack(fb_vals, axis=1)  # [N, J]
+        eye = jnp.eye(J, dtype=f32)
+        top = -a_rows[:, None, :]  # [N, 1, J]
+        if J > 1:
+            shift = jnp.broadcast_to(eye[:-1][None], (n, J - 1, J))
+            A = jnp.concatenate([top, shift], axis=1)  # [N, J, J]
+        else:
+            A = top
+        b = jnp.concatenate([ff[:, None], jnp.zeros((n, J - 1), f32)], axis=1)
+        ident = jnp.broadcast_to(eye[None], (n, J, J))
+        A = jnp.where(live[:, None, None], A, ident)
+        b = jnp.where(live[:, None], b, 0.0)
+
+        def compose(x, ys):
+            A1, b1 = x
+            A2, b2 = ys
+            return (jnp.einsum("nij,njk->nik", A2, A1),
+                    jnp.einsum("nij,nj->ni", A2, b1) + b2)
+        As, bs = jax.lax.associative_scan(compose, (A, b))
+        h0 = hist[:J]
+        hs = jnp.einsum("nij,j->ni", As, h0) + bs  # [N, J]
+        y = jnp.where(live, hs[:, 0], 0.0)
+        return y, _pad_hist(hs[-1], J)
+
+    def advance(self, P, st, s, e, ctx):
+        delay, real, hist, si, sffs, sfbs = st
+        v, si = self.inner.advance(P, si, s, e, ctx)
+        sffs = tuple(
+            c.advance(P, cs, s, e, ctx)[1] if cx is None else cs
+            for c, cx, cs in zip(self.ffs, self.ff_consts, sffs))
+        sfbs = tuple(
+            c.advance(P, cs, s, e, ctx)[1] if cx is None else cs
+            for c, cx, cs in zip(self.fbs, self.fb_consts, sfbs))
+        return v, (delay, real, hist, si, sffs, sfbs)
+
+
+def _pad_hist(h, J):
+    if h.shape[0] == max(J, 1):
+        return h
+    return jnp.concatenate([h, jnp.zeros((max(J, 1) - h.shape[0],), f32)])
+
+
+class CFin(Node):
+    def __init__(self, cfg, length: Node, inner: Node,
+                 ge0: Optional[Callable]):
+        super().__init__(cfg)
+        self.length = length
+        self.inner = inner
+        self.ge0 = ge0  # fn(P, lpos, maxn) -> rel cutoff in [0, maxn]
+        if ge0 is not None and inner.reloc is not None:
+            def reloc(P, li):
+                rel = ge0(P, jnp.int32(0), BIG)
+                yi, vi = inner.reloc(P, li)
+                v = vi & (li < rel)
+                return jnp.where(v, yi, 0.0), v
+            self.reloc = reloc
+            self.static_len = lambda P: jnp.minimum(
+                ge0(P, jnp.int32(0), BIG),
+                inner.static_len(P) if inner.static_len is not None else BIG)
+
+    def init(self, P):
+        return (jnp.int32(0), self.length.init(P), self.inner.init(P))
+
+    def _cutoff_render(self, P, lpos, sl, s, e, ctx):
+        """Returns (cutoff_lane, lpos', length_state') for a generate()-arm
+        resolution (generator.rs:133-168)."""
+        maxn = jnp.maximum(e - s, 0)
+        if self.ge0 is not None:
+            rel = self.ge0(P, lpos, maxn)
+            _, sl = self.length.advance(P, sl, s, e, ctx)
+            return s + jnp.minimum(rel, maxn), lpos + maxn, sl
+        # Value path: render the length waveform and find the first lane
+        # with a non-negative value (or its end).
+        ly, lv, sl = self.length.render(P, sl, s, e, ctx)
+        cond = (_mask(ctx, s, lv) & (ly >= 0.0)) | \
+            ((ctx.idx >= lv) & (ctx.idx < e))
+        first = jnp.min(jnp.where(cond, ctx.idx, BIG))
+        return jnp.minimum(first, e), lpos + maxn, sl
+
+    def render(self, P, st, s, e, ctx):
+        lpos, sl, si = st
+        cutoff, lpos, sl = self._cutoff_render(P, lpos, sl, s, e, ctx)
+        yi, vi, si = self.inner.render(P, si, s, cutoff, ctx)
+        # Advance the inner past the truncation point (length-only).
+        _, si = self.inner.advance(P, si, cutoff, e, ctx)
+        return yi, vi, (lpos, sl, si)
+
+    def advance(self, P, st, s, e, ctx):
+        lpos, sl, si = st
+        maxn = jnp.maximum(e - s, 0)
+        if self.ge0 is not None:
+            rel = self.ge0(P, lpos, maxn)
+            vi, si = self.inner.advance(P, si, s, e, ctx)
+            _, sl = self.length.advance(P, sl, s, e, ctx)
+            return jnp.minimum(s + jnp.minimum(rel, maxn), vi), \
+                (lpos + maxn, sl, si)
+        ly, lv, sl = self.length.render(P, sl, s, e, ctx)
+        vi, si = self.inner.advance(P, si, s, e, ctx)
+        cond = (_mask(ctx, s, lv) & (ly >= 0.0)) | \
+            ((ctx.idx >= lv) & (ctx.idx < e)) | \
+            ((ctx.idx >= vi) & (ctx.idx < e))
+        first = jnp.min(jnp.where(cond, ctx.idx, BIG))
+        return jnp.minimum(first, e), (lpos + maxn, sl, si)
+
+
+class CReset(Node):
+    def __init__(self, cfg, trigger: Node, inner: Node,
+                 inner_ir: ir.Waveform, compiler: "Compiler"):
+        super().__init__(cfg)
+        self.trigger = trigger
+        self.inner = inner
+        self.inner_reloc = inner.reloc
+        self.compiler = compiler
+
+    def init(self, P):
+        return (f32(-1.0), jnp.int32(0),
+                self.trigger.init(P), self.inner.init(P))
+
+    def render(self, P, st, s, e, ctx):
+        sign, age, strg, sinn = st
+        yt, vt, strg = self.trigger.render(P, strg, s, e, ctx)
+        m = _mask(ctx, s, vt)
+        sg = jnp.where(jnp.signbit(yt), f32(-1.0), f32(1.0))
+        prev_neg = jnp.where(ctx.idx == s, sign < 0.0,
+                             jnp.roll(sg, 1) < 0.0)
+        edge = m & prev_neg & (yt >= 0.0)
+
+        if self.inner_reloc is not None:
+            # Virtual last-edge lane encodes the carried age.
+            base = s - age
+            last = jnp.maximum(jax.lax.cummax(
+                jnp.where(edge, ctx.idx, -BIG)), base)
+            local = ctx.idx - last
+            yi, vi = self.inner_reloc(P, local)
+            y = jnp.where(m & vi, yi, 0.0)
+            nonempty = vt > s
+            lastN = jnp.where(nonempty, last[jnp.clip(vt - 1, 0, ctx.n - 1)],
+                              base)
+            age = jnp.where(nonempty, vt - lastN, age)
+            sign = jnp.where(nonempty, sg[jnp.clip(vt - 1, 0, ctx.n - 1)],
+                             sign)
+            return y, vt, (sign, age, strg, sinn)
+
+        # Stateful inner: per-sample scan, re-initializing at each edge.
+        inner = self.inner
+        fresh = inner.init(P)
+        sctx = Ctx(1, allow_captures=False)
+
+        def step(carry, xs):
+            st_inner, = carry
+            is_edge, active = xs
+            st_inner = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(is_edge, a, b), fresh, st_inner)
+            y1, v1, st_new = inner.render(P, st_inner, jnp.int32(0),
+                                          jnp.where(active, 1, 0), sctx)
+            st_inner = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(active, a, b), st_new, st_inner)
+            return (st_inner,), jnp.where(active, y1[0], 0.0)
+
+        (sinn,), y = jax.lax.scan(step, (sinn,), (edge, m))
+        nonempty = vt > s
+        sign = jnp.where(nonempty, sg[jnp.clip(vt - 1, 0, ctx.n - 1)], sign)
+        return y, vt, (sign, age, strg, sinn)
+
+    def advance(self, P, st, s, e, ctx):
+        sign, age, strg, sinn = st
+        vt, strg = self.trigger.advance(P, strg, s, e, ctx)
+        return vt, (sign, age, strg, sinn)
+
+
+class CAlt(Node):
+    def __init__(self, cfg, trigger: Node, pos: Node, neg: Node):
+        super().__init__(cfg)
+        self.trigger, self.pos, self.neg = trigger, pos, neg
+        if all(n.reloc is not None for n in (trigger, pos, neg)):
+            def reloc(P, li):
+                yt, vt = trigger.reloc(P, li)
+                yp, vp = pos.reloc(P, li)
+                yn, vn = neg.reloc(P, li)
+                y = jnp.where(yt >= 0.0, jnp.where(vp, yp, 0.0),
+                              jnp.where(vn, yn, 0.0))
+                return jnp.where(vt, y, 0.0), vt
+            self.reloc = reloc
+
+    def init(self, P):
+        return (self.trigger.init(P), self.pos.init(P), self.neg.init(P))
+
+    def render(self, P, st, s, e, ctx):
+        stt, stp, stn = st
+        yt, vt, stt = self.trigger.render(P, stt, s, e, ctx)
+        yp, vp, stp = self.pos.render(P, stp, s, vt, ctx)
+        yn, vn, stn = self.neg.render(P, stn, s, vt, ctx)
+        y = jnp.where(_mask(ctx, s, vt),
+                      jnp.where(yt >= 0.0, yp, yn), 0.0)
+        return y, vt, (stt, stp, stn)
+
+    def advance(self, P, st, s, e, ctx):
+        stt, stp, stn = st
+        vt, stt = self.trigger.advance(P, stt, s, e, ctx)
+        _, stp = self.pos.advance(P, stp, s, e, ctx)
+        _, stn = self.neg.advance(P, stn, s, e, ctx)
+        return vt, (stt, stp, stn)
+
+
+class CWrap(Node):
+    """Marked / Captured passthrough."""
+
+    def __init__(self, cfg, inner: Node, capture_stem: Optional[str] = None):
+        super().__init__(cfg)
+        self.inner = inner
+        self.capture_stem = capture_stem
+        self.reloc = inner.reloc
+        self.const_expr = inner.const_expr
+
+    def init(self, P):
+        return self.inner.init(P)
+
+    def render(self, P, st, s, e, ctx):
+        y, v, st = self.inner.render(P, st, s, e, ctx)
+        if self.capture_stem is not None and ctx.allow_captures:
+            ctx.captures[self.capture_stem] = (y, s, v)
+        return y, v, st
+
+    def advance(self, P, st, s, e, ctx):
+        return self.inner.advance(P, st, s, e, ctx)
+
+
+def _apply_op(op, a, b):
+    if op in (ir.Operator.ADD, ir.Operator.MERGE):
+        return a + b
+    if op == ir.Operator.SUBTRACT:
+        return a - b
+    if op == ir.Operator.MULTIPLY:
+        return a * b
+    if op == ir.Operator.DIVIDE:
+        return jnp.where(b == 0.0, 0.0, a / jnp.where(b == 0.0, 1.0, b))
+    if op == ir.Operator.POWER:
+        return jnp.power(a, b)
+    raise ValueError(op)
+
+
+def _apply_op_scalar(op, a, b):
+    return _apply_op(op, f32(a), f32(b))
+
+
+# Nodes get a default static_len of None; CFin/CFixed override.
+Node.static_len = None
+Node.reloc = None
+Node.const_expr = None
+
+
+# ---------------------------------------------------------------------------
+# The compiler
+# ---------------------------------------------------------------------------
+
+
+class Compiler:
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.n_consts = 0
+        self.const_values: List[float] = []
+        self.fixed_values: List[np.ndarray] = []
+        self.uid = 0
+        self.marks: List[Tuple[Any, Tuple[int, ...]]] = []  # (id, path)
+        self.captures: List[str] = []
+
+    def _const_index(self, value: float) -> int:
+        self.const_values.append(np.float32(value))
+        return len(self.const_values) - 1
+
+    def compile(self, w: ir.Waveform, path: Tuple[int, ...] = ()) -> Node:
+        cfg = self.cfg
+        uid = self.uid  # pre-order numbering, matching oracle.initialize
+        self.uid += 1
+        if isinstance(w, ir.Const):
+            return CConst(cfg, self._const_index(w.value))
+        if isinstance(w, ir.Time):
+            return CTime(cfg)
+        if isinstance(w, ir.Noise):
+            return CNoise(cfg, uid)
+        if isinstance(w, ir.Fixed):
+            self.fixed_values.append(np.asarray(w.samples, np.float32))
+            node = CFixed(cfg, len(self.fixed_values) - 1, len(w.samples))
+            node.static_len = (lambda L: lambda P: jnp.int32(L))(len(w.samples))
+            return node
+        if isinstance(w, ir.Fin):
+            length = self.compile(w.length, path + (0,))
+            inner = self.compile(w.waveform, path + (1,))
+            ge0 = self._ge0_static(w.length, length)
+            return CFin(cfg, length, inner, ge0)
+        if isinstance(w, ir.Append):
+            return CAppend(cfg, self.compile(w.a, path + (0,)),
+                           self.compile(w.b, path + (1,)))
+        if isinstance(w, ir.Sine):
+            return CSine(cfg, self.compile(w.frequency, path + (0,)),
+                         self.compile(w.phase, path + (1,)))
+        if isinstance(w, ir.Filter):
+            inner = self.compile(w.waveform, path + (0,))
+            ffs = [self.compile(c, path + (1 + i,))
+                   for i, c in enumerate(w.feed_forward)]
+            fbs = [self.compile(c, path + (1 + len(w.feed_forward) + i,))
+                   for i, c in enumerate(w.feedback)]
+            ff_consts = [n.const_expr if isinstance(c, ir.Const) else None
+                         for n, c in zip(ffs, w.feed_forward)]
+            fb_consts = [n.const_expr if isinstance(c, ir.Const) else None
+                         for n, c in zip(fbs, w.feedback)]
+            return CFilter(cfg, inner, ffs, fbs, ff_consts, fb_consts)
+        if isinstance(w, ir.BinaryPointOp):
+            return CBinary(cfg, w.op, self.compile(w.a, path + (0,)),
+                           self.compile(w.b, path + (1,)))
+        if isinstance(w, ir.Reset):
+            trigger = self.compile(w.trigger, path + (0,))
+            inner = self.compile(w.waveform, path + (1,))
+            return CReset(cfg, trigger, inner, w.waveform, self)
+        if isinstance(w, ir.Alt):
+            return CAlt(cfg, self.compile(w.trigger, path + (0,)),
+                        self.compile(w.positive, path + (1,)),
+                        self.compile(w.negative, path + (2,)))
+        if isinstance(w, ir.Marked):
+            self.marks.append((w.id, path))
+            return CWrap(cfg, self.compile(w.waveform, path + (0,)))
+        if isinstance(w, ir.Captured):
+            self.captures.append(w.file_stem)
+            return CWrap(cfg, self.compile(w.waveform, path + (0,)),
+                         capture_stem=w.file_stem)
+        raise TypeError(f"unknown waveform {type(w)}")
+
+    # -- symbolic length analysis (mirrors greater_or_equals_at) ----------
+
+    def _ge0_static(self, w: ir.Waveform, node: Node) -> Optional[Callable]:
+        """Builds fn(P, lpos, maxn) -> relative cutoff (clamped to maxn; BIG
+        when the length waveform never reaches zero).
+
+        Mirrors generator.rs:787-862: an is_const length resolves to now /
+        never; Time +/- literal-Const chains resolve to a target sample
+        position; everything else (e.g. a Marked const, like test_fin's
+        dynamic length) returns None and takes the render-the-length value
+        path. Const thresholds read through Params so slider substitutions
+        keep symbolic lengths correct without recompiling.
+        """
+        plan = self._ge0_plan(w, node)
+        if plan is None:
+            return None
+
+        def fn(P, lpos, maxn):
+            rel = plan(P, lpos, f32(0.0))
+            return jnp.minimum(rel, maxn)
+        return fn
+
+    def _ge0_plan(self, w: ir.Waveform, node: Node) -> Optional[Callable]:
+        """Returns fn(P, lpos, value) -> rel (i32; BIG = never); None when
+        only the value path applies. `node` is the compiled counterpart of
+        `w`, so Const thresholds index the live parameter vector."""
+        sr = self.cfg.sample_rate
+
+        if node.const_expr is not None:
+            cx = node.const_expr
+
+            def const_plan(P, lpos, value):
+                return jnp.where(cx(P) >= value, jnp.int32(0), BIG)
+            return const_plan
+
+        if isinstance(w, ir.Time):
+            def time_plan(P, lpos, value):
+                current = lpos.astype(f32) / f32(sr)
+                target = _ceil_target(value, sr)
+                return jnp.where(current >= value, jnp.int32(0),
+                                 jnp.maximum(target - lpos, 0))
+            return time_plan
+
+        if isinstance(w, ir.BinaryPointOp) and w.op in (
+                ir.Operator.ADD, ir.Operator.SUBTRACT):
+            # Only structurally-literal Const operands shift the threshold
+            # (a Marked const forces the value path, generator.rs:840-855).
+            assert isinstance(node, CBinary)
+            ca = node.a.const_expr if isinstance(w.a, ir.Const) else None
+            cb = node.b.const_expr if isinstance(w.b, ir.Const) else None
+            if w.op == ir.Operator.ADD:
+                if ca is not None:
+                    sub = self._ge0_plan(w.b, node.b)
+                    if sub is None:
+                        return None
+                    return lambda P, lpos, value: sub(
+                        P, lpos, f32(value) - ca(P))
+                if cb is not None:
+                    sub = self._ge0_plan(w.a, node.a)
+                    if sub is None:
+                        return None
+                    return lambda P, lpos, value: sub(
+                        P, lpos, f32(value) - cb(P))
+            else:
+                if cb is not None:
+                    sub = self._ge0_plan(w.a, node.a)
+                    if sub is None:
+                        return None
+                    return lambda P, lpos, value: sub(
+                        P, lpos, f32(value) + cb(P))
+            return None
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Top-level voice API
+# ---------------------------------------------------------------------------
+
+
+class CompiledVoice:
+    """A waveform compiled for block rendering.
+
+    render_block is jit-compiled once per (structure, block size); Const
+    values travel in Params so same-structure waveforms (slider moves,
+    per-voice frequencies) reuse the executable.
+    """
+
+    def __init__(self, w: ir.Waveform, cfg: EngineConfig):
+        self.cfg = cfg
+        self.waveform = w
+        compiler = Compiler(cfg)
+        self.root = compiler.compile(w)
+        self.capture_stems = compiler.captures
+        self._base_consts = np.asarray(compiler.const_values, np.float32) \
+            if compiler.const_values else np.zeros((0,), np.float32)
+        self._base_fixeds = tuple(compiler.fixed_values)
+        self._render_jit: Dict[int, Callable] = {}
+        self._init_jit = jax.jit(self._init_impl) if cfg.jit \
+            else self._init_impl
+
+    # -- params ---------------------------------------------------------
+
+    def params(self, seed: int = 0) -> Params:
+        return Params(jnp.asarray(self._base_consts),
+                      tuple(jnp.asarray(x) for x in self._base_fixeds),
+                      jnp.uint32(seed))
+
+    def params_for(self, w2: ir.Waveform, seed: int = 0) -> Params:
+        """Params extracted from a same-structure waveform (e.g. after a
+        slider substitution)."""
+        c2 = Compiler(self.cfg)
+        c2.compile(w2)
+        return Params(jnp.asarray(np.asarray(c2.const_values, np.float32)),
+                      tuple(jnp.asarray(x) for x in c2.fixed_values),
+                      jnp.uint32(seed))
+
+    # -- state ----------------------------------------------------------
+
+    def _init_impl(self, P):
+        return self.root.init(P)
+
+    def init(self, P: Params):
+        return self._init_jit(P)
+
+    # -- rendering ------------------------------------------------------
+
+    def _render_impl(self, n, P, state, s, e):
+        ctx = Ctx(n)
+        y, v, state = self.root.render(P, state, s, e, ctx)
+        return y, v, state, ctx.captures
+
+    def render_fn(self, n: int) -> Callable:
+        fn = self._render_jit.get(n)
+        if fn is None:
+            fn = partial(self._render_impl, n)
+            if self.cfg.jit:
+                fn = jax.jit(fn)
+            self._render_jit[n] = fn
+        return fn
+
+    def render_block(self, P, state, n: int, s=0, e=None):
+        if e is None:
+            e = n
+        return self.render_fn(n)(P, state, jnp.int32(s), jnp.int32(e))
+
+
+def compile_voice(w: ir.Waveform, cfg: EngineConfig) -> CompiledVoice:
+    return CompiledVoice(w, cfg)
+
+
+def structure_key(w: ir.Waveform) -> Tuple:
+    """A hashable key identifying the compiled structure of a waveform:
+    node types, operators, Fixed lengths, filter aritys — everything except
+    Const values and Fixed payload contents."""
+    if isinstance(w, ir.Const):
+        return ("C",)
+    if isinstance(w, ir.Fixed):
+        return ("X", len(w.samples))
+    if isinstance(w, ir.BinaryPointOp):
+        return ("B", w.op.value) + tuple(
+            structure_key(c) for c in w.children())
+    if isinstance(w, ir.Filter):
+        return ("F", len(w.feed_forward), len(w.feedback)) + tuple(
+            structure_key(c) for c in w.children())
+    if isinstance(w, ir.Marked):
+        return ("M", str(w.id), structure_key(w.waveform))
+    if isinstance(w, ir.Captured):
+        return ("K", w.file_stem, structure_key(w.waveform))
+    return (type(w).__name__,) + tuple(
+        structure_key(c) for c in w.children())
+
+
+def render(w: ir.Waveform, n: int, sample_rate: int, *,
+           precision: str = "exact", seed: int = 0,
+           block: Optional[int] = None, jit: bool = True) -> np.ndarray:
+    """Renders up to n samples, driving the block renderer to completion.
+
+    Returns the valid prefix as float32 numpy. (The tracker uses the
+    streaming API; this is the convenience one-shot path.)
+    """
+    cfg = EngineConfig(sample_rate, precision, seed, jit)
+    voice = CompiledVoice(w, cfg)
+    P = voice.params(seed)
+    state = voice.init(P)
+    if block is None:
+        block = max(64, min(n, 1 << 16))
+    out = []
+    total = 0
+    while total < n:
+        m = min(block, n - total)
+        y, v, state, _ = voice.render_block(P, state, block, 0, m)
+        v = int(v)
+        out.append(np.asarray(y[:v], np.float32))
+        total += v
+        if v < m:
+            break
+    if not out:
+        return np.zeros((0,), np.float32)
+    return np.concatenate(out)[:n]
