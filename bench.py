@@ -1,0 +1,149 @@
+"""Benchmark harness: renders the reference's tracker-bench workloads
+(benches/tracker_benches.rs) through the TPU engine and reports throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Headline metric: geometric-mean x-realtime at 48kHz across the workloads.
+The reference publishes no numbers; its implied bound is tracker_load < 1.0
+(1.0x realtime) on the author's machine, so vs_baseline is vs 1.0x.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(HERE))
+
+import jax  # noqa: E402
+
+from tuun_tpu import ir, optimizer  # noqa: E402
+from tuun_tpu.engine import CompiledVoice, EngineConfig  # noqa: E402
+from tuun_tpu.evaluator import Evaluator  # noqa: E402
+from tuun_tpu.expr import ESeq, EWaveform  # noqa: E402
+
+SAMPLE_RATE = 44100
+REALTIME_BASE = 48000.0
+BLOCK = 1 << 17
+STDLIB = HERE / "tuun_tpu" / "stdlib" / "v0"
+
+T = ir.Time()
+
+
+def C(v):
+    return ir.Const(v)
+
+
+def lin(a, b):
+    # a + time * b
+    return ir.BinaryPointOp(ir.Operator.ADD,
+                            ir.BinaryPointOp(ir.Operator.MULTIPLY, T, C(b)),
+                            C(a))
+
+
+def workloads():
+    """The tracker_benches.rs workload set, as IR."""
+    ev = Evaluator(SAMPLE_RATE, 120, STDLIB)
+
+    def from_expr(text):
+        out = ev.evaluate_source(text, opens=("std",))
+        if isinstance(out, ESeq):
+            out = out.waveform
+        assert isinstance(out, EWaveform), text
+        return optimizer.optimize(out.waveform)
+
+    ws = {}
+    # filter_1_1: one-pole IIR driven by Time (tracker_benches.rs:19-34)
+    ws["filter_1_1"] = ir.Filter(T, (C(0.5),), (C(-0.5),))
+    # filter_1_1_linear: time-varying coefficients (:36-67)
+    ws["filter_1_1_linear"] = ir.Filter(
+        T, (lin(0.5, -0.5),), (lin(-0.5, 0.5),))
+    # filter_4_3: 4 ff / 3 fb constant coefficients (:69-89)
+    ws["filter_4_3"] = ir.Filter(
+        T,
+        (C(0.00107949), C(0.00323847), C(0.00323847), C(0.00107949)),
+        (C(-2.5610316), C(2.2132402), C(-0.6435727)))
+    # large_440: triangle(55) + noise*0.2 | R(1.0, 1.0) (:119-165)
+    ws["large_440"] = from_expr(
+        "triangle(55) + (noise * 0.2) | R(1.0, 1.0)")
+    # marks_4_40-style: a long chain of beat-length silent segments (the
+    # reference chains 40 beats waveforms, ~80s of audio) (:92-117)
+    seg = "0 | fin(time - 0.5) | seq(time - 0.5)"
+    chain = "<[" + ", ".join([seg] * 40 * 4) + "]>"
+    ws["marks_4_40"] = from_expr(chain)
+    # polyphonic: 16 simultaneous DTMF-style dual tones, one voice graph
+    tones = ", ".join(
+        f"$({600 + 60 * i}) + $({1200 + 35 * i})" for i in range(16))
+    ws["poly_16"] = from_expr(
+        "{[" + tones + "]} | fin(time - 80)")
+    return ws
+
+
+def bench_one(name, w, seconds=5.0, warmup_blocks=2):
+    cfg = EngineConfig(SAMPLE_RATE, precision="fast", jit=True)
+    voice = CompiledVoice(w, cfg)
+    P = voice.params()
+    state0 = voice.init(P)
+    fn = voice.render_fn(BLOCK)
+    s = jax.numpy.int32(0)
+    e = jax.numpy.int32(BLOCK)
+    # Warmup/compile
+    state = state0
+    for _ in range(warmup_blocks):
+        y, v, state, _ = fn(P, state, s, e)
+    jax.block_until_ready((y, state))
+    # Timed steady-state rendering. Pipeline plenty of blocks: the final
+    # block_until_ready pays one host<->device round trip (~30ms through
+    # the axon tunnel), which must amortize over the run like it does in
+    # the streaming tracker.
+    n_blocks = max(40, int(seconds * SAMPLE_RATE / BLOCK))
+    state = voice.init(P)
+    t0 = time.perf_counter()
+    total = 0
+    for _ in range(n_blocks):
+        y, v, state, _ = fn(P, state, s, e)
+        total += BLOCK
+    jax.block_until_ready((y, state))
+    dt = time.perf_counter() - t0
+    sps = total / dt
+    return sps
+
+
+def main():
+    results = {}
+    for name, w in workloads().items():
+        try:
+            sps = bench_one(name, w)
+            results[name] = sps
+            print(f"# {name}: {sps / 1e6:.1f} Msamples/s "
+                  f"({sps / REALTIME_BASE:.0f}x realtime@48k)",
+                  file=sys.stderr)
+        except Exception as exc:  # pragma: no cover
+            print(f"# {name} FAILED: {exc}", file=sys.stderr)
+            results[name] = None
+    ok = {k: v for k, v in results.items() if v}
+    if not ok:
+        print(json.dumps({"metric": "tracker_bench_x_realtime_48k",
+                          "value": 0.0, "unit": "x_realtime",
+                          "vs_baseline": 0.0}))
+        return 1
+    geomean = math.exp(sum(math.log(v / REALTIME_BASE) for v in ok.values())
+                       / len(ok))
+    print(json.dumps({
+        "metric": "tracker_bench_x_realtime_48k",
+        "value": round(geomean, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(geomean / 1.0, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2,12 +2,13 @@
 
 Tests never require TPU hardware: sharding is validated on a host-platform
 8-device mesh, and numeric comparisons against the oracle run the engine in
-'exact' (f64-phase) mode on CPU.
+'exact' (f64-phase) mode on CPU.  Note the explicit config.update — the
+environment may pin JAX_PLATFORMS to a hardware plugin (axon), which a mere
+env-var default would not override.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +16,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

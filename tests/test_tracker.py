@@ -1,0 +1,180 @@
+"""Tracker/player runtime tests: scheduling, mixing, Modify state carry,
+captures, stop ramps, and the batch CLI."""
+
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tuun_tpu import ir, oracle
+from tuun_tpu.ids import MarkId, WaveformId
+from tuun_tpu.player import Player, build_top_level_waveform, db_to_amplitude
+from tuun_tpu.tracker import Tracker, collect_marks
+from tuun_tpu.wav import read_wav, write_wav_f32
+
+STDLIB = Path(__file__).resolve().parent.parent / "tuun_tpu" / "stdlib" / "v0"
+
+
+def fin_const(value, seconds):
+    return ir.Fin(ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(),
+                                   ir.Const(float(seconds))),
+                  ir.Const(float(value)))
+
+
+def make_tracker(sr=100, block=16, **kw):
+    kw.setdefault("precision", "exact")
+    kw.setdefault("jit", False)
+    return Tracker(sr, block, **kw)
+
+
+def test_immediate_play_and_finish():
+    t = make_tracker()
+    t.play("a", fin_const(1.0, 0.32))  # 32 samples
+    out = t.run_to_completion()
+    assert len(out) == 48  # 3 blocks of 16
+    np.testing.assert_array_equal(out[:32], 1.0)
+    np.testing.assert_array_equal(out[32:], 0.0)
+
+
+def test_mid_block_start_and_mix():
+    t = make_tracker()
+    t.play("a", fin_const(1.0, 0.32))
+    t.play("b", fin_const(2.0, 0.10), start=8)  # starts at lane 8
+    out = t.run_to_completion()
+    np.testing.assert_array_equal(out[:8], 1.0)
+    np.testing.assert_array_equal(out[8:18], 3.0)
+    np.testing.assert_array_equal(out[18:32], 1.0)
+
+
+def test_late_start_catch_up():
+    # A voice whose start is in the past generates-and-discards the delta,
+    # so stateful waveforms are properly positioned (tracker.rs:514-537).
+    t = make_tracker()
+    t.play("a", fin_const(1.0, 0.32))
+    _ = t.render_block()  # now = 16
+    t.play("b", ir.Fin(ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(),
+                                        ir.Const(0.30)), ir.Time()),
+           start=10)
+    out, _ = t.render_block()
+    # b's Time started at sample 10, so at block 2 lane 0 (abs 16) its local
+    # time is 6 samples in.
+    np.testing.assert_allclose(out[0], 1.0 + 6 / 100)
+
+
+def test_repeat_every():
+    t = make_tracker()
+    t.play("a", fin_const(1.0, 0.08), repeat_every=16)  # 8 on, 8 off
+    chunks = [t.render_block()[0] for _ in range(3)]
+    for c in chunks:
+        np.testing.assert_array_equal(c[:8], 1.0)
+        np.testing.assert_array_equal(c[8:], 0.0)
+    t.stop_all()
+
+
+def test_modify_preserves_untouched_state():
+    # A sine keeps its phase across a Modify of an unrelated mark
+    # (docs/dynamic.md: click-free updates).
+    sr = 100
+    t = make_tracker(sr=sr)
+    w = ir.BinaryPointOp(
+        ir.Operator.MULTIPLY,
+        ir.Sine(ir.Const(math.tau * 5), ir.Const(0.0)),
+        ir.Marked("gain", ir.Const(1.0)))
+    t.play("a", w)
+    out1, _ = t.render_block()
+    t.modify("a", "gain", ir.Const(0.5))
+    out2, _ = t.render_block()
+    expected = 0.5 * np.sin(
+        math.tau * 5 * np.arange(16, 32) / sr).astype(np.float32)
+    np.testing.assert_allclose(out2, expected, atol=1e-5)
+    t.stop_all()
+
+
+def test_stop_ramp():
+    t = make_tracker()
+    p = Player(t, tempo=60, beats_per_measure=4)
+    p.play("a", ir.Const(1.0))
+    t.render_block()
+    p.stop("a")
+    out = t.run_to_completion(max_seconds=2.0)
+    # 50ms ramp at sr=100 = 5 samples, then silence and voice retirement
+    assert not t.active
+    assert out[0] == 1.0
+    assert out[4] < 1.0
+    np.testing.assert_array_equal(out[5:], 0.0)
+
+
+def test_capture_writes_wav(tmp_path):
+    t = make_tracker(captured_output_dir=tmp_path)
+    t.captured_date_format = ""  # deterministic file name
+    t.play("a", ir.Captured("dump", fin_const(0.25, 0.20)))
+    t.run_to_completion()
+    samples, sr = read_wav(tmp_path / "dump.wav")
+    assert sr == 100
+    np.testing.assert_array_equal(samples, np.full(20, 0.25, np.float32))
+
+
+def test_collect_marks():
+    w = build_top_level_waveform(fin_const(1.0, 0.5), -6.0)
+    marks = collect_marks(w, 100, "id", 0)
+    ids = {m.mark_id for m in marks}
+    assert MarkId.TOP_LEVEL in ids
+    assert MarkId.AMPLITUDE in ids
+    assert MarkId.TERMINATOR in ids
+    top = next(m for m in marks if m.mark_id == MarkId.TOP_LEVEL)
+    assert top.duration == 50
+
+
+def test_append_mark_offsets():
+    w = ir.Append(fin_const(1.0, 0.10), ir.Marked("late", fin_const(2.0, 0.10)))
+    marks = collect_marks(w, 100, "id", 5)
+    late = next(m for m in marks if m.mark_id == "late")
+    assert late.start == 15  # 5 + 10-sample first segment
+    assert late.duration == 10
+
+
+def test_level_db():
+    t = make_tracker()
+    p = Player(t, 60, 4)
+    p.play("a", fin_const(1.0, 0.16), level_db=-6.0)
+    out, _ = t.render_block()
+    np.testing.assert_allclose(out[0], db_to_amplitude(-6.0), rtol=1e-6)
+    t.stop_all()
+
+
+def test_player_measures():
+    t = make_tracker(sr=100, block=10)
+    p = Player(t, tempo=60, beats_per_measure=4)  # measure = 400 samples
+    assert p.next_measure_start() == 400
+    t.now = 400
+    assert p.next_measure_start() == 800
+    marks = p.beat_marks()
+    assert any(m.mark_id == MarkId.TOP_LEVEL for m in marks)
+
+
+def test_cli_expr(tmp_path):
+    from tuun_tpu.cli import main
+    out = tmp_path / "out.wav"
+    rc = main(["--expr", "$10 * Qw", "--sample_rate", "100", "--tempo", "60",
+               "--render-out", str(out), "--no-jit", "--precision", "exact",
+               "--quiet"])
+    assert rc == 0
+    samples, sr = read_wav(out)
+    assert sr == 100
+    expected = np.sin(math.tau * 10 * np.arange(100) / 100)
+    np.testing.assert_allclose(samples[:100], expected, atol=1e-4)
+    np.testing.assert_array_equal(samples[100:], 0.0)
+
+
+def test_cli_file(tmp_path):
+    from tuun_tpu.cli import main
+    src = tmp_path / "song.tuun"
+    src.write_text('#{level_db=0}\n_ = $10 | fin(time - 1);\n')
+    out = tmp_path / "out.wav"
+    rc = main([str(src), "--open", "std", "--sample_rate", "100",
+               "--render-out", str(out), "--no-jit", "--precision", "exact",
+               "--quiet", "--library_root", str(STDLIB)])
+    assert rc == 0
+    samples, _ = read_wav(out)
+    assert np.abs(samples[:100]).max() > 0.9

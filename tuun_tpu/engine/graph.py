@@ -51,6 +51,7 @@ import numpy as np
 
 from .. import ir
 from ..noisegen import noise_jnp
+from .pallas_ops import pallas_available, prefix_max_f32, prefix_sum_f32
 
 TAU = math.tau
 BIG = jnp.int32(2 ** 30)
@@ -65,6 +66,7 @@ class EngineConfig:
     precision: str = "exact"  # "exact" (f64 phase, sequential IIR) | "fast"
     seed: int = 0
     jit: bool = True  # False: eager execution (fast small-scale testing)
+    use_pallas: Optional[bool] = None  # None: auto (fast mode on TPU)
 
     @property
     def phase_dtype(self):
@@ -73,6 +75,12 @@ class EngineConfig:
     @property
     def sequential_iir(self) -> bool:
         return self.precision == "exact"
+
+    @property
+    def pallas(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        return self.precision == "fast" and self.jit and pallas_available()
 
 
 @dataclass
@@ -96,6 +104,10 @@ class Ctx:
     def __init__(self, n: int, allow_captures: bool = True):
         self.n = n
         self.idx = jnp.arange(n, dtype=jnp.int32)
+        # f32 lane indices for cross-lane reductions/scans: int32 reduce/scan
+        # hits a pathologically slow TPU path (minutes of compile, ~100x
+        # slower execution); f32 is exact for lane counts < 2^24.
+        self.fidx = jnp.arange(n, dtype=jnp.float32)
         # stem -> (samples[N], start, end) accumulated during the trace
         self.captures: Dict[str, Tuple] = {}
         self.allow_captures = allow_captures
@@ -108,6 +120,46 @@ def _mask(ctx: Ctx, s, e):
 def _ceil_target(c, sample_rate: int):
     """ceil(c * sr) with f32 arithmetic (generator.rs:813)."""
     return jnp.ceil(f32(c) * f32(sample_rate)).astype(i32)
+
+
+def _cumsum(x, use_pallas: bool = False):
+    """Inclusive prefix sum. XLA's native cumsum lowers to a slow
+    reduce-window on TPU; associative_scan is better but still explodes
+    into ~150 unfused slice/pad kernels — the Pallas kernel does the whole
+    scan in one launch (see pallas_ops)."""
+    if use_pallas and x.dtype == jnp.float32:
+        return prefix_sum_f32(x)
+    return jax.lax.associative_scan(jnp.add, x)
+
+
+def _running_max_f32(x, use_pallas: bool = False):
+    if use_pallas:
+        return prefix_max_f32(x)
+    return jax.lax.associative_scan(jnp.maximum, x)
+
+
+BIGF = jnp.float32(3e18)
+
+
+def _first_lane(ctx, cond, e):
+    """First lane index in [0, n) where cond holds, else e — an f32 min
+    reduction (int32 reductions are pathological on TPU)."""
+    first = jnp.min(jnp.where(cond, ctx.fidx, BIGF))
+    return jnp.minimum(first.astype(i32), e)
+
+
+def _last_lane(ctx, cond, default):
+    """Largest lane index where cond holds, else `default` (int32 scalar)."""
+    last = jnp.max(jnp.where(cond, ctx.fidx, -BIGF))
+    return jnp.maximum(last.astype(i32), default)
+
+
+def _value_at(ctx, lane_values, lane, default):
+    """lane_values[lane] via a masked f32 reduction — a single-element
+    gather from a large vector costs ~1ms on TPU, a reduction ~20us."""
+    hit = ctx.fidx == lane.astype(f32)
+    picked = jnp.sum(jnp.where(hit, lane_values.astype(f32), 0.0))
+    return jnp.where(jnp.any(hit), picked.astype(lane_values.dtype), default)
 
 
 # ---------------------------------------------------------------------------
@@ -218,15 +270,20 @@ class CFixed(Node):
     def render(self, P, st, s, e, ctx):
         pos = st[0]
         L = self.length
-        li = pos + ctx.idx - s
         take = jnp.clip(L - pos, 0, jnp.maximum(e - s, 0))
         v = s + take
         if L == 0:
             y = jnp.zeros(ctx.n, f32)
         else:
+            # Sequential playback reads a contiguous window — dynamic_slice
+            # + roll instead of a (slow) gather. Lane i wants data[pos+i-s].
             data = P.fixeds[self.index]
-            safe = jnp.clip(li, 0, L - 1)
-            y = jnp.where(_mask(ctx, s, v), data[safe], 0.0)
+            padded = jnp.concatenate([data, jnp.zeros(ctx.n, f32)])
+            start = pos - s
+            base = jnp.clip(start, 0, L)
+            win = jax.lax.dynamic_slice(padded, (base,), (ctx.n,))
+            win = jnp.roll(win, base - start)
+            y = jnp.where(_mask(ctx, s, v), win, 0.0)
         return y, v, (pos + take,)
 
     def advance(self, P, st, s, e, ctx):
@@ -320,35 +377,73 @@ class CBinary(Node):
 
 
 class CSine(Node):
+    """DDS oscillator.
+
+    Fast mode uses a classic uint32 NCO for constant frequencies: the phase
+    accumulator lives in turns scaled to 2^32, so integer wrap-around does
+    the mod-tau reduction exactly, per-lane phase is a single wrapping
+    multiply (no scan at all), and phase resolution is a constant 2^-24
+    turns regardless of elapsed time — strictly better than f32 radians.
+    Dynamic frequencies integrate with a (Pallas) prefix-sum.  Exact mode
+    mirrors the reference's f64 radian accumulator bit-for-bit-comparably.
+    """
+
+    NCO_SCALE = float(2.0 ** 32)
+    NCO_TO_RAD = float(TAU / 2.0 ** 24)
+
     def __init__(self, cfg, freq: Node, phase: Node):
         super().__init__(cfg)
         self.freq, self.phase = freq, phase
-        # Relocatable when the frequency is a constant expression and the
-        # phase is relocatable: closed-form DDS phase (n * w/sr) mod tau.
+        self.nco = cfg.precision == "fast" and freq.const_expr is not None
         if freq.const_expr is not None and phase.reloc is not None:
             pd = cfg.phase_dtype
             sr = cfg.sample_rate
-
-            def reloc(P, li):
-                inc = freq.const_expr(P).astype(pd) / pd(sr)
-                yp, vp = phase.reloc(P, li)
-                acc = jnp.mod(li.astype(pd) * inc, pd(TAU))
-                y = jnp.sin(acc + yp.astype(pd)).astype(f32)
-                return jnp.where(vp, y, 0.0), vp
+            if self.nco:
+                def reloc(P, li):
+                    inc = self._nco_inc(P)
+                    yp, vp = phase.reloc(P, li)
+                    ph = li.astype(jnp.uint32) * inc
+                    angle = (ph >> jnp.uint32(8)).astype(f32) * \
+                        f32(self.NCO_TO_RAD)
+                    y = jnp.sin(angle + yp)
+                    return jnp.where(vp, y, 0.0), vp
+            else:
+                def reloc(P, li):
+                    inc = freq.const_expr(P).astype(pd) / pd(sr)
+                    yp, vp = phase.reloc(P, li)
+                    acc = jnp.mod(li.astype(pd) * inc, pd(TAU))
+                    y = jnp.sin(acc + yp.astype(pd)).astype(f32)
+                    return jnp.where(vp, y, 0.0), vp
             self.reloc = reloc
 
+    def _nco_inc(self, P):
+        fc = self.freq.const_expr(P) / f32(self.cfg.sample_rate * TAU)
+        frac = fc - jnp.floor(fc)  # cycles/sample in [0, 1)
+        return (frac * f32(self.NCO_SCALE)).astype(jnp.uint32)
+
     def init(self, P):
-        return (jnp.zeros((), self.cfg.phase_dtype),
-                self.freq.init(P), self.phase.init(P))
+        acc = jnp.uint32(0) if self.nco else jnp.zeros((), self.cfg.phase_dtype)
+        return (acc, self.freq.init(P), self.phase.init(P))
 
     def render(self, P, st, s, e, ctx):
         acc, sf, sp = st
+        if self.nco:
+            # Constant frequency: the frequency subtree is a constant
+            # expression (its state advancement is a no-op), so skip it.
+            yp, vp, sp = self.phase.render(P, sp, s, e, ctx)
+            inc = self._nco_inc(P)
+            local = (ctx.idx - s).astype(jnp.uint32)
+            ph = acc + local * inc
+            angle = (ph >> jnp.uint32(8)).astype(f32) * f32(self.NCO_TO_RAD)
+            y = jnp.where(_mask(ctx, s, vp), jnp.sin(angle + yp), 0.0)
+            acc = acc + jnp.maximum(e - s, 0).astype(jnp.uint32) * inc
+            return y, vp, (acc, sf, sp)
         pd = self.cfg.phase_dtype
         yf, vf, sf = self.freq.render(P, sf, s, e, ctx)
         yp, vp, sp = self.phase.render(P, sp, s, vf, ctx)
         inc = jnp.where(_mask(ctx, s, vf), yf, 0.0).astype(pd) / \
             pd(self.cfg.sample_rate)
-        pre = jnp.cumsum(inc) - inc  # exclusive prefix of phase increments
+        pre = _cumsum(inc, self.cfg.pallas and pd == jnp.float32) - inc
         y = jnp.sin(acc + pre + yp.astype(pd)).astype(f32)
         y = jnp.where(_mask(ctx, s, vp), y, 0.0)
         acc = jnp.mod(acc + jnp.sum(inc), pd(TAU))
@@ -431,7 +526,13 @@ class CFilter(Node):
         # the deque pushes in generator.rs:482-513).
         if K > 1:
             lanes = out_end - (K - 1) + jnp.arange(K - 1, dtype=i32)
-            wvals = wy[jnp.clip(lanes, 0, ctx.n - 1)]  # zero beyond wv
+            # Contiguous K-1 window of the extended input: dynamic_slice
+            # instead of a gather from the full block.
+            wy_p = jnp.concatenate([wy, jnp.zeros(K - 1, f32)])
+            lo = out_end - (K - 1)
+            base = jnp.clip(lo, 0, ctx.n)
+            wvals = jax.lax.dynamic_slice(wy_p, (base,), (K - 1,))
+            wvals = jnp.roll(wvals, base - lo)
             dvals = delay[jnp.clip((K - 1) + lanes - s, 0, K - 2)]
             delay = jnp.where(lanes < s, dvals, wvals)
         real = jnp.clip(real + wv - out_end, 0, K - 1)
@@ -549,8 +650,7 @@ class CFin(Node):
         ly, lv, sl = self.length.render(P, sl, s, e, ctx)
         cond = (_mask(ctx, s, lv) & (ly >= 0.0)) | \
             ((ctx.idx >= lv) & (ctx.idx < e))
-        first = jnp.min(jnp.where(cond, ctx.idx, BIG))
-        return jnp.minimum(first, e), lpos + maxn, sl
+        return _first_lane(ctx, cond, e), lpos + maxn, sl
 
     def render(self, P, st, s, e, ctx):
         lpos, sl, si = st
@@ -574,8 +674,7 @@ class CFin(Node):
         cond = (_mask(ctx, s, lv) & (ly >= 0.0)) | \
             ((ctx.idx >= lv) & (ctx.idx < e)) | \
             ((ctx.idx >= vi) & (ctx.idx < e))
-        first = jnp.min(jnp.where(cond, ctx.idx, BIG))
-        return jnp.minimum(first, e), (lpos + maxn, sl, si)
+        return _first_lane(ctx, cond, e), (lpos + maxn, sl, si)
 
 
 class CReset(Node):
@@ -603,17 +702,18 @@ class CReset(Node):
         if self.inner_reloc is not None:
             # Virtual last-edge lane encodes the carried age.
             base = s - age
-            last = jnp.maximum(jax.lax.cummax(
-                jnp.where(edge, ctx.idx, -BIG)), base)
+            last_f = _running_max_f32(
+                jnp.where(edge, ctx.fidx, -BIGF), self.cfg.pallas)
+            last = jnp.maximum(last_f.astype(i32), base)
             local = ctx.idx - last
             yi, vi = self.inner_reloc(P, local)
             y = jnp.where(m & vi, yi, 0.0)
             nonempty = vt > s
-            lastN = jnp.where(nonempty, last[jnp.clip(vt - 1, 0, ctx.n - 1)],
-                              base)
+            # The running max at lane vt-1 is just a masked max reduction.
+            lastN = _last_lane(ctx, edge & (ctx.idx < vt), base)
             age = jnp.where(nonempty, vt - lastN, age)
-            sign = jnp.where(nonempty, sg[jnp.clip(vt - 1, 0, ctx.n - 1)],
-                             sign)
+            sign = jnp.where(nonempty,
+                             _value_at(ctx, sg, vt - 1, sign), sign)
             return y, vt, (sign, age, strg, sinn)
 
         # Stateful inner: per-sample scan, re-initializing at each edge.
@@ -634,7 +734,7 @@ class CReset(Node):
 
         (sinn,), y = jax.lax.scan(step, (sinn,), (edge, m))
         nonempty = vt > s
-        sign = jnp.where(nonempty, sg[jnp.clip(vt - 1, 0, ctx.n - 1)], sign)
+        sign = jnp.where(nonempty, _value_at(ctx, sg, vt - 1, sign), sign)
         return y, vt, (sign, age, strg, sinn)
 
     def advance(self, P, st, s, e, ctx):

@@ -1,0 +1,139 @@
+"""Host-side schedule builder — the tracker's client.
+
+Port of /root/reference/src/lib/player.rs: wraps program waveforms with the
+standard top-level marks (Amplitude at the program level, Terminator for
+stopping), substitutes slider values, and schedules playback on measure
+boundaries.  Musical time (beats/measures) is pure sample arithmetic here —
+no silent beats voices are needed, but beats marks are synthesized into the
+Status for parity with the reference's `Beats` waveforms.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import ir, optimizer
+from .ids import MarkId, WaveformId
+from .sliders import denormalize
+from .tracker import Mark, Tracker
+
+STOP_DURATION_SECS = 0.05
+
+
+def db_to_amplitude(db: float) -> float:
+    return float(np.float32(10.0) ** (np.float32(db) / np.float32(20.0)))
+
+
+def build_top_level_waveform(w: ir.Waveform, level_db: float) -> ir.Waveform:
+    """Marked(TopLevel, (w * Marked(Amplitude, amp)) * Marked(Terminator, 1))
+    (player.rs:265-288)."""
+    return ir.Marked(
+        MarkId.TOP_LEVEL,
+        ir.BinaryPointOp(
+            ir.Operator.MULTIPLY,
+            ir.BinaryPointOp(
+                ir.Operator.MULTIPLY, w,
+                ir.Marked(MarkId.AMPLITUDE,
+                          ir.Const(db_to_amplitude(level_db)))),
+            ir.Marked(MarkId.TERMINATOR, ir.Const(1.0))))
+
+
+def stop_ramp() -> ir.Waveform:
+    """A 50ms down-ramp substituted under Terminator to stop a voice
+    (player.rs:141-166)."""
+    return ir.Fin(
+        ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(),
+                         ir.Const(STOP_DURATION_SECS)),
+        ir.BinaryPointOp(
+            ir.Operator.SUBTRACT, ir.Const(1.0),
+            ir.BinaryPointOp(ir.Operator.MULTIPLY, ir.Time(),
+                             ir.Const(1.0 / STOP_DURATION_SECS))))
+
+
+def substitute_slider_values(w: ir.Waveform, sliders: Sequence,
+                             normalized: Sequence[float]
+                             ) -> Tuple[ir.Waveform, List[Tuple[str, float]]]:
+    """Substitutes each slider's current value into Marked(Slider(label))
+    nodes (player.rs:32-47)."""
+    values = []
+    for config, norm in zip(sliders, normalized):
+        value = denormalize(config.function, norm)
+        values.append((config.label, value))
+        w = ir.substitute(w, MarkId.slider(config.label), ir.Const(value))
+    return w, values
+
+
+class Player:
+    """Schedules program playback on a Tracker using a sample clock."""
+
+    def __init__(self, tracker: Tracker, tempo: int, beats_per_measure: int,
+                 precompute: bool = False):
+        self.tracker = tracker
+        self.tempo = tempo
+        self.beats_per_measure = beats_per_measure
+        self.precompute = precompute
+
+    @property
+    def sample_rate(self) -> int:
+        return self.tracker.sample_rate
+
+    def samples_per_beat(self) -> float:
+        return 60.0 / self.tempo * self.sample_rate
+
+    def samples_per_measure(self) -> float:
+        return self.samples_per_beat() * self.beats_per_measure
+
+    def next_measure_start(self) -> int:
+        spm = self.samples_per_measure()
+        now = self.tracker.now
+        return int(math.ceil((now + 1) / spm) * spm)
+
+    def beat_marks(self, horizon_measures: int = 2) -> List[Mark]:
+        """Synthesized beats marks (the reference keeps two silent Beats
+        voices for this; we compute them arithmetically)."""
+        spb = self.samples_per_beat()
+        spm = self.samples_per_measure()
+        now = self.tracker.now
+        measure0 = int(now // spm)
+        marks = []
+        for mi in range(measure0, measure0 + horizon_measures + 1):
+            base = int(mi * spm)
+            marks.append(Mark(WaveformId.beats(mi % 2 == 0), MarkId.TOP_LEVEL,
+                              base, int(spm)))
+            for b in range(self.beats_per_measure):
+                marks.append(Mark(WaveformId.beats(mi % 2 == 0),
+                                  MarkId.user(b + 1),
+                                  base + int(b * spb), int(spb)))
+        return marks
+
+    def play(self, wid, w: ir.Waveform, level_db: float = 0.0,
+             sliders: Sequence = (), normalized: Sequence[float] = (),
+             start_at_next_measure: bool = False,
+             repeat_after_measures: Optional[int] = None) -> None:
+        """Optimizes, substitutes sliders, wraps with top-level marks, and
+        schedules (player.rs:79-125)."""
+        w = optimizer.optimize(w)
+        w, _ = substitute_slider_values(w, sliders, normalized)
+        if self.precompute:
+            from .oracle import Oracle
+            w = Oracle(self.sample_rate).precompute(w)
+        start = self.next_measure_start() if start_at_next_measure else None
+        repeat = None
+        if repeat_after_measures is not None:
+            repeat = int(repeat_after_measures * self.samples_per_measure())
+        self.tracker.play(wid, build_top_level_waveform(w, level_db),
+                          start=start, repeat_every=repeat)
+
+    def play_note(self, key: int, w: ir.Waveform, level_db: float = 0.0
+                  ) -> None:
+        self.tracker.play(WaveformId.key(key),
+                          build_top_level_waveform(w, level_db))
+
+    def stop(self, wid) -> None:
+        """Fades the voice out over a short ramp."""
+        self.tracker.modify(wid, MarkId.TERMINATOR, stop_ramp())
+        self.tracker.remove_pending(wid)

@@ -1,0 +1,382 @@
+"""The tracker: a batched polyphonic block renderer.
+
+TPU-native counterpart of the reference audio runtime
+(/root/reference/src/lib/tracker.rs).  The reference splits each audio
+callback buffer into segments at every pending voice's start instant and
+runs a per-sample interpreter per voice; here every voice is a compiled
+block program (tuun_tpu.engine) and a mid-block start is just a non-zero
+interval start — no segmentation, one fused render per voice per block,
+additively mixed.
+
+Time is a sample clock (block N covers samples [N*block, (N+1)*block)); the
+wall-clock mapping lives in the CLI/streaming layer.  Semantics mirrored
+from the reference:
+  * pending voices promote when their start sample is reached; late starts
+    catch up by rendering-and-discarding the missed span (tracker.rs:514-537)
+  * repeat_every reschedules a fresh copy, skipping missed repetitions
+  * Modify substitutes under a mark id; state of untouched nodes is carried
+    into the recompiled voice so live edits are click-free (docs/dynamic.md)
+  * Status reports marks (id, start, duration) computed symbolically from
+    the IR via the oracle's length pass (tracker.rs:231-312)
+  * Captured subtrees stream to float32 WAV files
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from . import ir, oracle
+from .engine import CompiledVoice, EngineConfig, structure_key
+from .wav import write_wav_f32
+
+MARK_LENGTH_CAP_SECONDS = 10  # tracker.rs process_marked's 10 * sample_rate
+
+
+@dataclass
+class Mark:
+    waveform_id: Any
+    mark_id: Any
+    start: int       # absolute sample index
+    duration: int    # samples
+
+
+@dataclass
+class Status:
+    buffer_start: int
+    marks: List[Mark] = field(default_factory=list)
+    buffer: Optional[np.ndarray] = None
+    tracker_load: Optional[float] = None
+    voices: int = 0
+
+    def has_pending_mark(self, when: int, wid, mark) -> bool:
+        return any(m.waveform_id == wid and m.mark_id == mark and
+                   m.start > when for m in self.marks)
+
+    def has_active_mark(self, when: int, wid, mark) -> bool:
+        return any(m.waveform_id == wid and m.mark_id == mark and
+                   m.start <= when for m in self.marks)
+
+
+def collect_marks(w: ir.Waveform, sample_rate: int, waveform_id,
+                  start: int) -> List[Mark]:
+    """Walks the IR collecting Marked spans (port of process_marked)."""
+    out: List[Mark] = []
+    cap = MARK_LENGTH_CAP_SECONDS * sample_rate
+    o = oracle.Oracle(sample_rate)
+
+    def walk(node: ir.Waveform, start: int) -> None:
+        if isinstance(node, (ir.Const, ir.Time, ir.Noise, ir.Fixed)):
+            return
+        if isinstance(node, ir.Append):
+            walk(node.a, start)
+            a_len = o.length(oracle.initialize(node.a), cap)
+            walk(node.b, start + a_len)
+            return
+        if isinstance(node, ir.Marked):
+            ln = o.length(oracle.initialize(node.waveform), cap)
+            out.append(Mark(waveform_id, node.id, start, ln))
+            walk(node.waveform, start)
+            return
+        if isinstance(node, ir.Reset):
+            walk(node.trigger, start)
+            return
+        if isinstance(node, ir.Alt):
+            walk(node.trigger, start)
+            return
+        for child in node.children():
+            walk(child, start)
+
+    walk(w, start)
+    return out
+
+
+class _CompileCache:
+    """Per-structure compile cache: same-shaped waveforms share executables."""
+
+    def __init__(self):
+        self._cache: Dict[Tuple, CompiledVoice] = {}
+
+    def get(self, w: ir.Waveform, cfg: EngineConfig) -> CompiledVoice:
+        key = (structure_key(w), cfg.sample_rate, cfg.precision, cfg.jit)
+        voice = self._cache.get(key)
+        if voice is None:
+            voice = CompiledVoice(w, cfg)
+            self._cache[key] = voice
+        return voice
+
+
+_global_cache = _CompileCache()
+
+
+def _shapes_match(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    return len(la) == len(lb) and all(
+        getattr(x, "shape", None) == getattr(y, "shape", None)
+        for x, y in zip(la, lb))
+
+
+def carry_state(old_w: ir.Waveform, new_w: ir.Waveform, old_state,
+                new_state, replaced_mark=None):
+    """Maps generation state from an old waveform's tree onto a new one:
+    structurally matching nodes keep their state; the subtree under the
+    substituted mark (and any changed subtree) keeps the fresh init state.
+    Functional analogue of the reference's in-place `waveform::substitute`
+    on a stateful tree (tracker.rs:415-460): untouched nodes keep playing
+    without a click."""
+    if type(old_w) is not type(new_w):
+        return new_state
+    if isinstance(new_w, (ir.Marked, ir.Captured)):
+        if isinstance(new_w, ir.Marked) and replaced_mark is not None \
+                and new_w.id == replaced_mark:
+            return new_state  # the substituted subtree starts fresh
+        return carry_state(old_w.waveform, new_w.waveform, old_state,
+                           new_state, replaced_mark)
+    ok = old_w.children()
+    nk = new_w.children()
+    if len(ok) != len(nk):
+        return new_state
+    if isinstance(new_w, ir.Filter):
+        K = len(new_w.feed_forward)
+        delay, real, hist, osi, osffs, osfbs = old_state
+        ndelay, nreal, nhist, nsi, nsffs, nsfbs = new_state
+        si = carry_state(old_w.waveform, new_w.waveform, osi, nsi,
+                         replaced_mark)
+        sffs = tuple(carry_state(o, nw, os_, ns_, replaced_mark)
+                     for o, nw, os_, ns_ in zip(
+                         old_w.feed_forward, new_w.feed_forward, osffs, nsffs))
+        sfbs = tuple(carry_state(o, nw, os_, ns_, replaced_mark)
+                     for o, nw, os_, ns_ in zip(
+                         old_w.feedback, new_w.feedback, osfbs, nsfbs))
+        keep = _shapes_match((delay, real, hist), (ndelay, nreal, nhist))
+        own = (delay, real, hist) if keep else (ndelay, nreal, nhist)
+        return own + (si, sffs, sfbs)
+    if not isinstance(new_state, tuple) or not isinstance(old_state, tuple) \
+            or len(old_state) != len(new_state):
+        return new_state
+    # Generic layout: own scalar fields lead, child states trail in
+    # children() order (see the engine node init() layouts).
+    n_own = len(new_state) - len(nk)
+    out = []
+    for i, (os_, ns_) in enumerate(zip(old_state, new_state)):
+        if i < n_own:
+            out.append(os_ if _shapes_match(os_, ns_) else ns_)
+        else:
+            ci = i - n_own
+            out.append(carry_state(ok[ci], nk[ci], os_, ns_, replaced_mark))
+    return tuple(out)
+
+
+@dataclass
+class Voice:
+    """One active waveform on the tracker."""
+
+    id: Any
+    waveform: ir.Waveform
+    compiled: CompiledVoice
+    params: Any
+    state: Any
+    start: int
+    marks: List[Mark]
+    captures: Dict[str, List[np.ndarray]] = field(default_factory=dict)
+    finished: bool = False
+
+
+@dataclass
+class Pending:
+    id: Any
+    waveform: ir.Waveform
+    start: int
+    repeat_every: Optional[int]
+    marks: List[Mark]
+
+
+class Tracker:
+    """Owns active + pending voices and renders mixed blocks."""
+
+    def __init__(self, sample_rate: int, block_size: int = 1024,
+                 captured_output_dir: str | Path = ".",
+                 captured_date_format: str = "_%Y-%m-%d_%H-%M-%S",
+                 precision: str = "fast", jit: bool = True, seed: int = 0,
+                 compile_cache: Optional[_CompileCache] = None):
+        self.sample_rate = sample_rate
+        self.block_size = block_size
+        self.captured_output_dir = Path(captured_output_dir)
+        self.captured_date_format = captured_date_format
+        self.cfg = EngineConfig(sample_rate, precision, seed, jit)
+        self.cache = compile_cache or _global_cache
+        self.active: List[Voice] = []
+        self.pending: List[Pending] = []
+        self.now: int = 0  # next sample to be rendered
+        self.send_current_buffer = False
+        self._seed_counter = seed
+
+    # -- commands ------------------------------------------------------
+
+    def play(self, wid, waveform: ir.Waveform, start: Optional[int] = None,
+             repeat_every: Optional[int] = None) -> None:
+        start = self.now if start is None else start
+        marks = collect_marks(waveform, self.sample_rate, wid, start)
+        self.pending.append(Pending(wid, waveform, start, repeat_every, marks))
+        self.pending.sort(key=lambda p: p.start)
+
+    def modify(self, wid, mark_id, new_waveform: ir.Waveform) -> None:
+        """Replaces the subtree under `mark_id`, carrying unchanged state."""
+        for voice in self.active:
+            if voice.id == wid:
+                new_w = ir.substitute(voice.waveform, mark_id, new_waveform)
+                compiled = self.cache.get(new_w, self.cfg)
+                params = compiled.params_for(new_w, seed=int(voice.params.seed))
+                fresh = compiled.init(params)
+                voice.state = carry_state(voice.waveform, new_w,
+                                          voice.state, fresh,
+                                          replaced_mark=mark_id)
+                voice.waveform = new_w
+                voice.compiled = compiled
+                voice.params = params
+                voice.marks = collect_marks(new_w, self.sample_rate,
+                                            voice.id, voice.start)
+        for p in self.pending:
+            if p.id == wid:
+                p.waveform = ir.substitute(p.waveform, mark_id, new_waveform)
+                p.marks = collect_marks(p.waveform, self.sample_rate, p.id,
+                                        p.start)
+
+    def remove_pending(self, wid) -> None:
+        self.pending = [p for p in self.pending if p.id != wid]
+
+    def stop_all(self) -> None:
+        for voice in self.active:
+            self._close_voice(voice)
+        self.active = []
+        self.pending = []
+
+    # -- rendering -----------------------------------------------------
+
+    def _activate(self, p: Pending, block_start: int) -> Voice:
+        compiled = self.cache.get(p.waveform, self.cfg)
+        self._seed_counter += 1
+        params = compiled.params_for(p.waveform, seed=self._seed_counter)
+        state = compiled.init(params)
+        voice = Voice(p.id, p.waveform, compiled, params, state, p.start,
+                      list(p.marks))
+        delta = block_start - p.start
+        if delta > 0:
+            # Late start: catch up by rendering and discarding
+            # (tracker.rs:514-537). Captures are kept (they did "happen").
+            n = self.block_size
+            off = 0
+            while off < delta and not voice.finished:
+                m = min(n, delta - off)
+                self._render_voice(voice, m, 0)
+                off += m
+        return voice
+
+    def _render_voice(self, voice: Voice, e: int, s: int) -> np.ndarray:
+        n = self.block_size
+        y, v, state, caps = voice.compiled.render_block(
+            voice.params, voice.state, n, s, e)
+        voice.state = state
+        v = int(v)
+        if v < e:
+            voice.finished = True
+        for stem, (cy, cs, cv) in caps.items():
+            cs_i, cv_i = int(cs), int(cv)
+            if cv_i > cs_i:
+                voice.captures.setdefault(stem, []).append(
+                    np.asarray(cy[cs_i:cv_i], np.float32))
+        out = np.asarray(y, np.float32)
+        if v < n:
+            out = out.copy()
+            out[v:] = 0.0
+        return out
+
+    def render_block(self) -> Tuple[np.ndarray, Status]:
+        """Renders the next block of `block_size` samples (the audio
+        callback: tracker.rs:321-368 + generate:484-644)."""
+        t0 = _time.perf_counter()
+        n = self.block_size
+        block_start = self.now
+        block_end = block_start + n
+        out = np.zeros(n, dtype=np.float32)
+
+        # Promote pending voices that start inside (or before) this block.
+        still_pending: List[Pending] = []
+        for p in list(self.pending):
+            if p.start < block_end:
+                voice = self._activate(p, block_start)
+                self.active.append(voice)
+                if p.repeat_every is not None:
+                    nxt = p.start + p.repeat_every
+                    while nxt < block_start:  # skip missed repetitions
+                        nxt += p.repeat_every
+                    marks = collect_marks(p.waveform, self.sample_rate, p.id,
+                                          nxt)
+                    still_pending.append(Pending(p.id, p.waveform, nxt,
+                                                 p.repeat_every, marks))
+            else:
+                still_pending.append(p)
+        self.pending = sorted(still_pending, key=lambda q: q.start)
+
+        finished: List[Voice] = []
+        survivors: List[Voice] = []
+        for voice in self.active:
+            s = max(voice.start - block_start, 0)
+            y = self._render_voice(voice, n, s)
+            out += y
+            if voice.finished:
+                finished.append(voice)
+                self._close_voice(voice)
+            else:
+                survivors.append(voice)
+        self.active = survivors
+        self.now = block_end
+
+        status = Status(buffer_start=block_start, voices=len(self.active))
+        for voice in finished:
+            status.marks.extend(voice.marks)
+        for voice in self.active:
+            status.marks.extend(voice.marks)
+        for p in self.pending:
+            status.marks.extend(p.marks)
+        if self.send_current_buffer:
+            status.buffer = out.copy()
+            self.send_current_buffer = False
+        elapsed = _time.perf_counter() - t0
+        status.tracker_load = elapsed * self.sample_rate / n
+        return out, status
+
+    def _close_voice(self, voice: Voice) -> None:
+        if not voice.captures:
+            return
+        datetime = _time.strftime(self.captured_date_format)
+        for stem, chunks in voice.captures.items():
+            samples = np.concatenate(chunks) if chunks else \
+                np.zeros(0, np.float32)
+            path = self.captured_output_dir / f"{stem}{datetime}.wav"
+            self.captured_output_dir.mkdir(parents=True, exist_ok=True)
+            write_wav_f32(path, samples, self.sample_rate)
+        voice.captures = {}
+
+    # -- convenience ---------------------------------------------------
+
+    def run_to_completion(self, max_seconds: float = 120.0,
+                          sink: Optional[Callable[[np.ndarray], None]] = None
+                          ) -> np.ndarray:
+        """Renders blocks until no active or pending voices remain."""
+        chunks = []
+        max_blocks = int(max_seconds * self.sample_rate / self.block_size) + 1
+        for _ in range(max_blocks):
+            y, status = self.render_block()
+            chunks.append(y)
+            if sink is not None:
+                sink(y)
+            if not self.active and not self.pending:
+                break
+        return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
