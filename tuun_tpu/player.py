@@ -119,8 +119,9 @@ class Player:
         w = optimizer.optimize(w)
         w, _ = substitute_slider_values(w, sliders, normalized)
         if self.precompute:
-            from .oracle import Oracle
-            w = Oracle(self.sample_rate).precompute(w)
+            from .engine.precompute import precompute as engine_precompute
+            w = engine_precompute(w, self.sample_rate,
+                                  cfg=self.tracker.cfg)
         start = self.next_measure_start() if start_at_next_measure else None
         repeat = None
         if repeat_after_measures is not None:

@@ -1,0 +1,248 @@
+"""Docs-as-test-corpus checker.
+
+Port of the reference's web_checker (src/misc/web_checker.rs): extracts
+every `<tuun-synth>` expression from .md/.html files, parses and evaluates
+it against the embedded standard modules, exactly the way the web runtime
+would.  Documentation doubles as a conformance suite — pointing this at the
+*reference's* docs directory validates language compatibility on the real
+corpus.
+
+Usage: python -m tuun_tpu.tools.web_checker FILE...
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+from .. import builtins as builtins_mod
+from .. import eval as eval_mod
+from .. import parser
+from ..engine import CompiledVoice, EngineConfig
+from ..expr import (BOpen, EFloat, ESeq, EWaveform, SourceBinding, TuunError,
+                    definition)
+from ..ids import MarkId
+from ..sliders import append_slider_bindings
+
+STDLIB = Path(__file__).resolve().parent.parent / "stdlib" / "v0"
+EMBEDDED_MODULES = ("std", "env_minmax", "pm_synth")
+
+
+@dataclass
+class CheckReport:
+    ok: List[str] = field(default_factory=list)
+    skipped: List[str] = field(default_factory=list)
+    failed: List[Tuple[str, str]] = field(default_factory=list)  # label, err
+
+
+def _find_tag_close(html: str) -> Optional[int]:
+    """Index of the opening tag's closing '>', skipping quoted attributes
+    (which may contain '>' — e.g. slider fn sources)."""
+    i = 0
+    while i < len(html):
+        c = html[i]
+        if c in "\"'":
+            j = html.find(c, i + 1)
+            if j < 0:
+                return None
+            i = j + 1
+        elif c == ">":
+            return i
+        else:
+            i += 1
+    return None
+
+
+def _extract_attr(block: str, name: str) -> Optional[str]:
+    for quote in ('"', "'"):
+        pat = f"{name}={quote}"
+        start = block.find(pat)
+        if start >= 0:
+            vs = start + len(pat)
+            end = block.find(quote, vs)
+            if end >= 0:
+                return block[vs:end]
+    return None
+
+
+def _strip_comments(expression: str) -> str:
+    out = []
+    for line in expression.split("\n"):
+        idx = line.find("//")
+        out.append(line[:idx] if idx >= 0 else line)
+    return "\n".join(out)
+
+
+def find_blocks(text: str) -> List[Tuple[int, str]]:
+    """All <tuun-synth> blocks as (line_number, block_text)."""
+    blocks = []
+    pos = 0
+    while True:
+        start = text.find("<tuun-synth", pos)
+        if start < 0:
+            break
+        line = text.count("\n", 0, start) + 1
+        rest = text[start:]
+        self_close = rest.find("/>")
+        close_tag = rest.find("</tuun-synth>")
+        if self_close >= 0 and (close_tag < 0 or self_close < close_tag):
+            end = start + self_close + 2
+        elif close_tag >= 0:
+            end = start + close_tag + len("</tuun-synth>")
+        else:
+            pos = start + len("<tuun-synth")
+            continue
+        blocks.append((line, text[start:end]))
+        pos = end
+    return blocks
+
+
+def extract_expression(block: str) -> Optional[str]:
+    expr = _extract_attr(block, "expression")
+    if expr is not None:
+        return expr
+    tag_end = _find_tag_close(block)
+    if tag_end is None:
+        return None
+    body = block[tag_end + 1:]
+    if body.endswith("</tuun-synth>"):
+        body = body[:-len("</tuun-synth>")]
+    script_start = body.find("<script")
+    if script_start >= 0:
+        inner_start = body.find(">", script_start)
+        inner_end = body.find("</script>", inner_start)
+        if inner_start >= 0 and inner_end >= 0:
+            body = body[inner_start + 1:inner_end]
+    body = body.strip()
+    return body or None
+
+
+class Checker:
+    def __init__(self, sample_rate: int = 44100, tempo: int = 120,
+                 compile_check: bool = True):
+        prelude: List[SourceBinding] = []
+        prelude.append(definition("sample_rate", EFloat(float(sample_rate))))
+        prelude.append(definition("tempo", EFloat(float(tempo))))
+        builtins_mod.add_bindings(prelude)
+        prelude.append(definition(
+            "debug", builtins_mod.debug(lambda m: None)))
+        self.prelude = prelude
+        self.compile_check = compile_check
+        self.cfg = EngineConfig(sample_rate, precision="fast", jit=False,
+                                use_pallas=False)
+        self.modules: Dict[str, List[SourceBinding]] = {}
+        for name in EMBEDDED_MODULES:
+            content = (STDLIB / f"{name}.tuun").read_text()
+            bindings, errors = parser.parse_module(content)
+            if errors:
+                raise errors[0]
+            bindings.insert(0, SourceBinding(BOpen(("__prelude",))))
+            self.modules[name] = bindings
+
+    def resolve(self, path):
+        if path == ("__prelude",):
+            return self.prelude
+        key = ".".join(path)
+        if key in self.modules:
+            return self.modules[key]
+        raise TuunError(f"unknown module {key}")
+
+    def check_block(self, block: str) -> Tuple[str, str, str]:
+        """Returns (status in ok|skip|fail, label, message)."""
+        description = _extract_attr(block, "description") or ""
+        expression = extract_expression(block)
+        if expression is None:
+            return "skip", description, "no expression"
+        expression = _strip_comments(expression)
+        label = description or " ".join(expression.split())[:60]
+
+        try:
+            expr = parser.parse_program(expression)
+        except TuunError as e:
+            return "fail", label, f"parse error: {e}"
+
+        sliders_attr = _extract_attr(block, "sliders")
+        slider_configs = []
+        if sliders_attr:
+            try:
+                slider_configs = parser.parse_sliders(sliders_attr)
+            except TuunError as e:
+                return "fail", label, f"slider parse error: {e}"
+
+        open_attr = _extract_attr(block, "open") or "[]"
+        try:
+            opens = json.loads(open_attr)
+        except json.JSONDecodeError as e:
+            return "fail", label, f"open parsing error: {e}"
+
+        bindings: List[SourceBinding] = [SourceBinding(BOpen(("__prelude",)))]
+        for o in opens:
+            bindings.append(SourceBinding(BOpen(tuple(o.split(".")))))
+        # The checker binds sliders at normalized position 0.0, like the
+        # reference (web_checker.rs:305-310).
+        append_slider_bindings(slider_configs, [0.0] * len(slider_configs),
+                               MarkId.slider, bindings)
+        try:
+            value = eval_mod.evaluate(self.resolve, bindings, expr)
+        except TuunError as e:
+            return "fail", label, f"evaluate error: {e}"
+        except RecursionError:
+            return "fail", label, "evaluate error: recursion limit"
+
+        # Beyond the reference: also compile the result through the TPU
+        # engine front-end (structure only, no execution).
+        if self.compile_check:
+            w = None
+            if isinstance(value, EWaveform):
+                w = value.waveform
+            elif isinstance(value, ESeq) and isinstance(value.waveform,
+                                                        EWaveform):
+                w = value.waveform.waveform
+            if w is not None:
+                try:
+                    CompiledVoice(w, self.cfg)
+                except Exception as e:
+                    return "fail", label, f"engine compile error: {e}"
+        return "ok", label, ""
+
+    def check_file(self, path, report: CheckReport) -> None:
+        text = Path(path).read_text()
+        for line, block in find_blocks(text):
+            status, label, message = self.check_block(block)
+            tag = f"{path}:{line} {label}"
+            if status == "ok":
+                report.ok.append(tag)
+            elif status == "skip":
+                report.skipped.append(tag)
+            else:
+                report.failed.append((tag, message))
+
+
+def check_files(paths, compile_check: bool = True) -> CheckReport:
+    checker = Checker(compile_check=compile_check)
+    report = CheckReport()
+    for p in paths:
+        checker.check_file(p, report)
+    return report
+
+
+def main(argv=None) -> int:
+    args = argv if argv is not None else sys.argv[1:]
+    if not args:
+        print("usage: web_checker FILE...", file=sys.stderr)
+        return 2
+    report = check_files(args)
+    for tag in report.skipped:
+        print(f"[skip] {tag}")
+    for tag, message in report.failed:
+        print(f"[FAIL] {tag}: {message}")
+    print(f"{len(report.ok)} ok, {len(report.skipped)} skipped, "
+          f"{len(report.failed)} failed")
+    return 1 if report.failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
