@@ -63,23 +63,36 @@ class Status:
                    m.start <= when for m in self.marks)
 
 
+def _subtree_length(node: ir.Waveform, sample_rate: int, cap: int) -> int:
+    """Producible length of a fresh copy of `node`, up to cap samples.
+    Prefers the native C++ oracle (the Python per-sample fallback can be
+    slow when a dynamic Fin length forces the generate-and-scan path)."""
+    try:
+        from . import native
+        if native.native_available():
+            return native.NativeOracle(node, sample_rate).length(cap)
+    except Exception:
+        pass
+    o = oracle.Oracle(sample_rate)
+    return o.length(oracle.initialize(node), cap)
+
+
 def collect_marks(w: ir.Waveform, sample_rate: int, waveform_id,
                   start: int) -> List[Mark]:
     """Walks the IR collecting Marked spans (port of process_marked)."""
     out: List[Mark] = []
     cap = MARK_LENGTH_CAP_SECONDS * sample_rate
-    o = oracle.Oracle(sample_rate)
 
     def walk(node: ir.Waveform, start: int) -> None:
         if isinstance(node, (ir.Const, ir.Time, ir.Noise, ir.Fixed)):
             return
         if isinstance(node, ir.Append):
             walk(node.a, start)
-            a_len = o.length(oracle.initialize(node.a), cap)
+            a_len = _subtree_length(node.a, sample_rate, cap)
             walk(node.b, start + a_len)
             return
         if isinstance(node, ir.Marked):
-            ln = o.length(oracle.initialize(node.waveform), cap)
+            ln = _subtree_length(node.waveform, sample_rate, cap)
             out.append(Mark(waveform_id, node.id, start, ln))
             walk(node.waveform, start)
             return
