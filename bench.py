@@ -116,6 +116,48 @@ def bench_one(name, w, seconds=5.0, warmup_blocks=2):
     return sps
 
 
+def bench_polyphony(n_voices=256, seconds=4.0, block=1 << 14):
+    """Concurrent-voice throughput: n same-structure FM voices rendered as
+    one vmapped call (the tracker's VoiceGroup path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tuun_tpu.engine.graph import Params
+
+    ev = Evaluator(SAMPLE_RATE, 120, STDLIB)
+    out = ev.evaluate_source(
+        "sine(2*pi * 220, 3 * sine(2*pi * 222, 0)) * 0.01"
+        " | fin(time - 3600)", opens=("std",))
+    base = optimizer.optimize(out.waveform)
+    cfg = EngineConfig(SAMPLE_RATE, precision="fast", jit=True)
+    voice = CompiledVoice(base, cfg)
+    params = [voice.params(seed=i) for i in range(n_voices)]
+    # One structure, n_voices parameter vectors: perturb each voice's
+    # consts so every voice renders a distinct detuned tone.
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params)
+    jitter = 1.0 + jnp.arange(n_voices, dtype=jnp.float32)[:, None] * 0.001
+    stacked = Params(stacked.consts * jitter, stacked.fixeds, stacked.seed)
+    bstate = jax.vmap(voice._init_impl)(stacked)
+    fn = voice.batched_render_fn(block)
+    starts = jnp.zeros(n_voices, jnp.int32)
+    e = jnp.int32(block)
+    y, v, bstate, _ = fn(stacked, bstate, starts, e)
+    jax.block_until_ready(y)
+    bstate = jax.vmap(voice._init_impl)(stacked)
+    n_blocks = max(10, int(seconds * SAMPLE_RATE / block))
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        y, v, bstate, _ = fn(stacked, bstate, starts, e)
+    jax.block_until_ready(y)
+    dt = time.perf_counter() - t0
+    voice_sps = n_voices * n_blocks * block / dt
+    mix_sps = n_blocks * block / dt
+    print(f"# poly_voices_{n_voices}: {voice_sps / 1e6:.0f} Mvoice-samples/s"
+          f" ({mix_sps / REALTIME_BASE:.0f}x realtime mix of {n_voices}"
+          f" FM voices)", file=sys.stderr)
+    return voice_sps
+
+
 def main():
     results = {}
     for name, w in workloads().items():
@@ -128,6 +170,10 @@ def main():
         except Exception as exc:  # pragma: no cover
             print(f"# {name} FAILED: {exc}", file=sys.stderr)
             results[name] = None
+    try:
+        bench_polyphony(256)
+    except Exception as exc:  # pragma: no cover
+        print(f"# poly_voices FAILED: {exc}", file=sys.stderr)
     ok = {k: v for k, v in results.items() if v}
     if not ok:
         print(json.dumps({"metric": "tracker_bench_x_realtime_48k",

@@ -178,3 +178,35 @@ def test_cli_file(tmp_path):
     assert rc == 0
     samples, _ = read_wav(out)
     assert np.abs(samples[:100]).max() > 0.9
+
+
+def test_vmapped_voice_group_mix():
+    """Same-structure voices batch into one vmapped render; the mix must
+    equal the sum of individually rendered voices."""
+    import math
+    from tuun_tpu import optimizer, oracle
+    from tuun_tpu.evaluator import Evaluator
+
+    sr, block = 100, 16
+    ev = Evaluator(sr, 60, STDLIB)
+    freqs = [5, 7, 11, 13]
+    waves = []
+    for f in freqs:
+        out = ev.evaluate_source(f"${f} | fin(time - 1)", opens=("std",))
+        waves.append(optimizer.optimize(out.waveform))
+    t = make_tracker(sr=sr, block=block)
+    starts = [0, 0, 8, 12]  # all inside the first block
+    for i, (w, st) in enumerate(zip(waves, starts)):
+        t.play(f"v{i}", w, start=st)
+    first = t.render_block()[0]
+    # After the first block all four voices share one compiled structure.
+    assert len(t._groups) == 1 and len(t._groups[0].voices) == 4
+    mix = np.concatenate([first] + [t.render_block()[0]
+                                    for _ in range(8)])[:120]
+
+    expected = np.zeros(120, np.float32)
+    for w, st in zip(waves, starts):
+        y = oracle.render(w, 120, sr)
+        expected[st:st + len(y)] += y[:max(0, 120 - st)]
+    np.testing.assert_allclose(mix, expected, atol=1e-4)
+    assert not t.active  # all finished and retired through the group path

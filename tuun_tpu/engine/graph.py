@@ -1045,6 +1045,22 @@ class CompiledVoice:
             e = n
         return self.render_fn(n)(P, state, jnp.int32(s), jnp.int32(e))
 
+    def batched_render_fn(self, n: int) -> Callable:
+        """vmapped render over a leading voice axis with the mix summed
+        inside the jitted program: one dispatch per block for a whole
+        polyphonic voice group."""
+        key = ("batched", n)
+        fn = self._render_jit.get(key)
+        if fn is None:
+            def batched(bp, bs, starts, e):
+                y, v, st, caps = jax.vmap(
+                    partial(self._render_impl, n),
+                    in_axes=(0, 0, 0, None))(bp, bs, starts, e)
+                return jnp.sum(y, axis=0), v, st, caps
+            fn = jax.jit(batched) if self.cfg.jit else batched
+            self._render_jit[key] = fn
+        return fn
+
 
 def compile_voice(w: ir.Waveform, cfg: EngineConfig) -> CompiledVoice:
     return CompiledVoice(w, cfg)

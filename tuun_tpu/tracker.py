@@ -210,6 +210,39 @@ class Pending:
     marks: List[Mark]
 
 
+class VoiceGroup:
+    """Same-structure voices rendered as one vmapped+jitted call.
+
+    Parameters and states stay stacked between blocks; membership changes
+    (activation, retirement, Modify) trigger a rebuild. The mix-sum runs
+    inside the jitted program, so a block costs one dispatch regardless of
+    polyphony — this is the TPU answer to the reference's per-voice
+    per-sample loop (tracker.rs:597-637).
+    """
+
+    def __init__(self, compiled: CompiledVoice, voices: List["Voice"]):
+        import jax.numpy as jnp
+        self.compiled = compiled
+        self.voices = voices
+        self.bparams = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[v.params for v in voices])
+        self.bstate = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[v.state for v in voices])
+
+    def render(self, n: int, starts, e):
+        import jax.numpy as jnp
+        fn = self.compiled.batched_render_fn(n)
+        y_sum, v, self.bstate, caps = fn(
+            self.bparams, self.bstate, jnp.asarray(starts, jnp.int32),
+            jnp.int32(e))
+        return y_sum, v, caps
+
+    def materialize_states(self) -> None:
+        for i, voice in enumerate(self.voices):
+            voice.state = jax.tree_util.tree_map(
+                lambda x, i=i: x[i], self.bstate)
+
+
 class Tracker:
     """Owns active + pending voices and renders mixed blocks."""
 
@@ -229,6 +262,9 @@ class Tracker:
         self.now: int = 0  # next sample to be rendered
         self.send_current_buffer = False
         self._seed_counter = seed
+        self._groups: List[VoiceGroup] = []
+        self._singles: List[Voice] = []
+        self._groups_dirty = True
 
     # -- commands ------------------------------------------------------
 
@@ -239,8 +275,16 @@ class Tracker:
         self.pending.append(Pending(wid, waveform, start, repeat_every, marks))
         self.pending.sort(key=lambda p: p.start)
 
+    def _materialize_groups(self) -> None:
+        for g in self._groups:
+            g.materialize_states()
+        self._groups = []
+        self._singles = []
+        self._groups_dirty = True
+
     def modify(self, wid, mark_id, new_waveform: ir.Waveform) -> None:
         """Replaces the subtree under `mark_id`, carrying unchanged state."""
+        self._materialize_groups()
         for voice in self.active:
             if voice.id == wid:
                 new_w = ir.substitute(voice.waveform, mark_id, new_waveform)
@@ -269,6 +313,9 @@ class Tracker:
             self._close_voice(voice)
         self.active = []
         self.pending = []
+        self._groups = []
+        self._singles = []
+        self._groups_dirty = True
 
     # -- rendering -----------------------------------------------------
 
@@ -325,6 +372,7 @@ class Tracker:
             if p.start < block_end:
                 voice = self._activate(p, block_start)
                 self.active.append(voice)
+                self._materialize_groups()
                 if p.repeat_every is not None:
                     nxt = p.start + p.repeat_every
                     while nxt < block_start:  # skip missed repetitions
@@ -337,18 +385,38 @@ class Tracker:
                 still_pending.append(p)
         self.pending = sorted(still_pending, key=lambda q: q.start)
 
+        if self._groups_dirty:
+            self._rebuild_groups()
+
         finished: List[Voice] = []
-        survivors: List[Voice] = []
-        for voice in self.active:
+        for voice in self._singles:
             s = max(voice.start - block_start, 0)
-            y = self._render_voice(voice, n, s)
-            out += y
+            out += self._render_voice(voice, n, s)
             if voice.finished:
                 finished.append(voice)
+        for group in self._groups:
+            starts = [max(v.start - block_start, 0) for v in group.voices]
+            y_sum, v_arr, caps = group.render(n, starts, n)
+            out += np.asarray(y_sum, np.float32)
+            v_np = np.asarray(v_arr)
+            for i, voice in enumerate(group.voices):
+                for stem, (cy, cs, cv) in caps.items():
+                    cs_i, cv_i = int(cs[i]), int(cv[i])
+                    if cv_i > cs_i:
+                        voice.captures.setdefault(stem, []).append(
+                            np.asarray(cy[i, cs_i:cv_i], np.float32))
+                if int(v_np[i]) < n:
+                    voice.finished = True
+                    finished.append(voice)
+            if any(v.finished for v in group.voices):
+                group.materialize_states()
+                self._groups_dirty = True
+        if finished:
+            self._groups_dirty = True
+            for voice in finished:
                 self._close_voice(voice)
-            else:
-                survivors.append(voice)
-        self.active = survivors
+            self.active = [v for v in self.active if not v.finished]
+            self._singles = [v for v in self._singles if not v.finished]
         self.now = block_end
 
         status = Status(buffer_start=block_start, voices=len(self.active))
@@ -364,6 +432,21 @@ class Tracker:
         elapsed = _time.perf_counter() - t0
         status.tracker_load = elapsed * self.sample_rate / n
         return out, status
+
+    def _rebuild_groups(self) -> None:
+        """Regroups active voices by compiled structure: groups of >= 2
+        render as one vmapped call; singletons keep the plain path."""
+        by_compiled: Dict[int, List[Voice]] = {}
+        for voice in self.active:
+            by_compiled.setdefault(id(voice.compiled), []).append(voice)
+        self._groups = []
+        self._singles = []
+        for voices in by_compiled.values():
+            if len(voices) >= 2:
+                self._groups.append(VoiceGroup(voices[0].compiled, voices))
+            else:
+                self._singles.extend(voices)
+        self._groups_dirty = False
 
     def _close_voice(self, voice: Voice) -> None:
         if not voice.captures:
