@@ -158,20 +158,53 @@ def bench_polyphony(n_voices=256, seconds=4.0, block=1 << 14):
     return voice_sps
 
 
+WORKLOAD_NAMES = ["filter_1_1", "filter_1_1_linear", "filter_4_3",
+                  "large_440", "marks_4_40", "poly_16"]
+
+
+def run_one(name: str) -> int:
+    """Subprocess entry: bench one workload, print 'RESULT <sps>'."""
+    if name == "poly_voices":
+        sps = bench_polyphony(256)
+    else:
+        sps = bench_one(name, workloads()[name])
+    print(f"RESULT {sps}")
+    return 0
+
+
 def main():
+    # Run each workload in its own subprocess: device/tunnel state degrades
+    # measurably over a long multi-compile process (observed ~50x on the
+    # last workload), and isolation also bounds any one compile hanging.
+    import subprocess
     results = {}
-    for name, w in workloads().items():
+    for name in WORKLOAD_NAMES:
         try:
-            sps = bench_one(name, w)
+            proc = subprocess.run(
+                [sys.executable, __file__, "--one", name],
+                capture_output=True, text=True, timeout=420)
+            sps = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    sps = float(line.split()[1])
             results[name] = sps
-            print(f"# {name}: {sps / 1e6:.1f} Msamples/s "
-                  f"({sps / REALTIME_BASE:.0f}x realtime@48k)",
-                  file=sys.stderr)
+            if sps:
+                print(f"# {name}: {sps / 1e6:.1f} Msamples/s "
+                      f"({sps / REALTIME_BASE:.0f}x realtime@48k)",
+                      file=sys.stderr)
+            else:
+                tail = (proc.stderr or "").strip().splitlines()[-3:]
+                print(f"# {name} FAILED: {' | '.join(tail)}", file=sys.stderr)
         except Exception as exc:  # pragma: no cover
             print(f"# {name} FAILED: {exc}", file=sys.stderr)
             results[name] = None
     try:
-        bench_polyphony(256)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--one", "poly_voices"],
+            capture_output=True, text=True, timeout=420)
+        for line in proc.stderr.splitlines():
+            if line.startswith("# poly_voices"):
+                print(line, file=sys.stderr)
     except Exception as exc:  # pragma: no cover
         print(f"# poly_voices FAILED: {exc}", file=sys.stderr)
     ok = {k: v for k, v in results.items() if v}
@@ -192,4 +225,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 3 and sys.argv[1] == "--one":
+        sys.exit(run_one(sys.argv[2]))
     sys.exit(main())

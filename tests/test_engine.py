@@ -244,3 +244,41 @@ def test_corpus_pm_brass():
     got = engine.render(w, 100, 100, precision="exact", block=32, jit=False)
     assert len(got) == len(ref)
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_gated_sequence_chain_jitted():
+    """Long sequence chains exercise the lax.cond empty-region gating;
+    verify jitted output equals the oracle across block boundaries."""
+    ev = Evaluator(10, 60, STDLIB)
+    seg = "0.5 | fin(time - 1) | seq(time - 1)"
+    chain = "<[" + ", ".join(
+        [f"{v} | fin(time - 1) | seq(time - 1)"
+         for v in ("0.5", "1.5", "2.5", "3.5")]) + "]>"
+    out = ev.evaluate_source(chain, opens=("std",))
+    w = optimizer.optimize(out.waveform.waveform)
+    assert ir.count_nodes(w) >= 10  # big enough to trigger gating
+    ref = oracle.render(w, 50, 10)
+    for b in (7, 16):
+        got = engine.render(w, 50, 10, precision="exact", block=b, jit=True)
+        assert len(got) == len(ref)
+        np.testing.assert_allclose(got, ref, atol=1e-6, err_msg=f"block={b}")
+
+
+def test_gated_capture_not_skipped():
+    """A capture-bearing subtree must not be cond-gated away."""
+    from tuun_tpu.engine import CompiledVoice
+    w = ir.Append(
+        Fin(sub_time(3.0), Const(1.0)),
+        ir.Captured("tail", ir.BinaryPointOp(
+            Operator.MULTIPLY,
+            ir.BinaryPointOp(Operator.ADD, Time(), Const(1.0)),
+            Fin(sub_time(4.0), ir.BinaryPointOp(
+                Operator.ADD, Time(), Const(0.5))))))
+    cfg = EngineConfig(1, "exact", jit=True)
+    voice = CompiledVoice(w, cfg)
+    P = voice.params()
+    st = voice.init(P)
+    y, v, st, caps = voice.render_block(P, st, 8)
+    assert "tail" in caps
+    ref = oracle.render(w, 8, 1)
+    np.testing.assert_allclose(np.asarray(y)[:int(v)], ref, atol=1e-6)

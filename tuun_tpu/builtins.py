@@ -484,7 +484,14 @@ def chord(arguments):
 
 
 def sequence(arguments):
-    """`<[a, b, ...]>`: fold of followed-by (builtins.rs:946-973)."""
+    """`<[a, b, ...]>`: fold of followed-by (builtins.rs:946-973).
+
+    The reference right-folds, producing a chain as deep as the list; since
+    `\\` is associative (offsets add), we fold as a balanced tree instead —
+    sample-equivalent, but compiled control flow nests log(n) deep, which
+    matters for long songs on the TPU engine (each sequence level carries
+    an empty-region skip branch).
+    """
     if len(arguments) != 1 or not isinstance(arguments[0], EList):
         return EError("Invalid argument for sequence")
     exprs = list(arguments[0].exprs)
@@ -495,12 +502,19 @@ def sequence(arguments):
         if w is None:
             return EError("Invalid argument for sequence")
         return EWaveform(w)
-    result = exprs.pop()
-    while exprs:
-        result = followed_by([exprs.pop(), result])
-        if isinstance(result, EError):
-            return result
-    return result
+
+    def fold(items):
+        if len(items) == 1:
+            return items[0]
+        mid = len(items) // 2
+        left = fold(items[:mid])
+        if isinstance(left, EError):
+            return left
+        right = fold(items[mid:])
+        if isinstance(right, EError):
+            return right
+        return followed_by([left, right])
+    return fold(exprs)
 
 
 # ---------------------------------------------------------------------------

@@ -167,6 +167,45 @@ def _value_at(ctx, lane_values, lane, default):
 # ---------------------------------------------------------------------------
 
 
+# Subtrees at least this large get lax.cond-gated on empty regions: long
+# sequence chains (`<[a, b, ...]>`) give every segment the full block's
+# region but most segments are inactive at any given time, so skipping
+# them turns O(chain * lanes) into O(active * lanes).
+GATE_MIN_NODES = 10
+
+
+def _gated_render(node: "Node", P, st, s, e, ctx: "Ctx"):
+    """node.render, skipped entirely (via lax.cond) when [s, e) is empty.
+
+    Correct because every node's render is a no-op on an empty region
+    (positions advance by 0, accumulators by +0.0, histories shift by 0
+    lanes) and returns v == e. Disabled for capture-bearing subtrees (the
+    capture side-band can't escape a cond branch) and in eager mode.
+    """
+    if node.subtree_size < GATE_MIN_NODES or node.has_capture \
+            or not node.cfg.jit:
+        return node.render(P, st, s, e, ctx)
+
+    def active(_):
+        return node.render(P, st, s, e, ctx)
+
+    def skip(_):
+        return jnp.zeros(ctx.n, f32), e + jnp.int32(0), st
+    return jax.lax.cond(s < e, active, skip, None)
+
+
+def _gated_advance(node: "Node", P, st, s, e, ctx: "Ctx"):
+    if node.subtree_size < GATE_MIN_NODES or not node.cfg.jit:
+        return node.advance(P, st, s, e, ctx)
+
+    def active(_):
+        return node.advance(P, st, s, e, ctx)
+
+    def skip(_):
+        return e + jnp.int32(0), st
+    return jax.lax.cond(s < e, active, skip, None)
+
+
 class Node:
     """A compiled IR node: init / render / advance plus optional reloc."""
 
@@ -314,19 +353,19 @@ class CAppend(Node):
     def render(self, P, st, s, e, ctx):
         a_done, sa, sb = st
         ea = jnp.where(a_done, s, e)
-        ya, va, sa = self.a.render(P, sa, s, ea, ctx)
+        ya, va, sa = _gated_render(self.a, P, sa, s, ea, ctx)
         a_done = a_done | (va < ea)
         bs = jnp.where(va < e, va, e)
-        yb, vb, sb = self.b.render(P, sb, bs, e, ctx)
+        yb, vb, sb = _gated_render(self.b, P, sb, bs, e, ctx)
         return ya + yb, jnp.where(va < e, vb, va), (a_done, sa, sb)
 
     def advance(self, P, st, s, e, ctx):
         a_done, sa, sb = st
         ea = jnp.where(a_done, s, e)
-        va, sa = self.a.advance(P, sa, s, ea, ctx)
+        va, sa = _gated_advance(self.a, P, sa, s, ea, ctx)
         a_done = a_done | (va < ea)
         bs = jnp.where(va < e, va, e)
-        vb, sb = self.b.advance(P, sb, bs, e, ctx)
+        vb, sb = _gated_advance(self.b, P, sb, bs, e, ctx)
         return jnp.where(va < e, vb, va), (a_done, sa, sb)
 
 
@@ -655,9 +694,9 @@ class CFin(Node):
     def render(self, P, st, s, e, ctx):
         lpos, sl, si = st
         cutoff, lpos, sl = self._cutoff_render(P, lpos, sl, s, e, ctx)
-        yi, vi, si = self.inner.render(P, si, s, cutoff, ctx)
+        yi, vi, si = _gated_render(self.inner, P, si, s, cutoff, ctx)
         # Advance the inner past the truncation point (length-only).
-        _, si = self.inner.advance(P, si, cutoff, e, ctx)
+        _, si = _gated_advance(self.inner, P, si, cutoff, e, ctx)
         return yi, vi, (lpos, sl, si)
 
     def advance(self, P, st, s, e, ctx):
@@ -822,6 +861,8 @@ def _apply_op_scalar(op, a, b):
 Node.static_len = None
 Node.reloc = None
 Node.const_expr = None
+Node.subtree_size = 1
+Node.has_capture = False
 
 
 # ---------------------------------------------------------------------------
@@ -844,6 +885,12 @@ class Compiler:
         return len(self.const_values) - 1
 
     def compile(self, w: ir.Waveform, path: Tuple[int, ...] = ()) -> Node:
+        node = self._compile(w, path)
+        node.subtree_size = ir.count_nodes(w)
+        node.has_capture = any(isinstance(n, ir.Captured) for n in w.walk())
+        return node
+
+    def _compile(self, w: ir.Waveform, path: Tuple[int, ...] = ()) -> Node:
         cfg = self.cfg
         uid = self.uid  # pre-order numbering, matching oracle.initialize
         self.uid += 1
