@@ -116,6 +116,36 @@ def main(argv=None) -> int:
         log("Playing expression")
         player.play(WaveformId.program(0), w)
         played += 1
+    elif args.input_file.endswith(".tuunp"):
+        # A program-list file (like fm-variations.tuunp): one expression
+        # per line, `//` comments and blank lines skipped.
+        try:
+            lines = Path(args.input_file).read_text().split("\n")
+        except OSError as e:
+            print(f"Failed to read input_file: {e}", file=sys.stderr)
+            return 1
+        from .expr import ESeq, EWaveform
+        opens = tuple(args.opens) if args.opens else ("std",)
+        for lineno, line in enumerate(lines, 1):
+            text = line.strip()
+            if not text or text.startswith("//"):
+                continue
+            try:
+                value = evaluator.evaluate_source(text, opens=opens)
+            except Exception as e:
+                print(f"{args.input_file}:{lineno}: Error: {e}",
+                      file=sys.stderr)
+                continue
+            if isinstance(value, ESeq):
+                value = value.waveform
+            if not isinstance(value, EWaveform):
+                log(f"line {lineno} did not evaluate to a waveform")
+                continue
+            log(f"Playing line {lineno}: {text[:60]}")
+            if args.dump:
+                print(ir.format_waveform(optimizer.optimize(value.waveform)))
+            player.play(WaveformId.program(lineno), value.waveform)
+            played += 1
     else:
         try:
             source = Path(args.input_file).read_text()
@@ -168,6 +198,9 @@ def main(argv=None) -> int:
     chunks = []
     sink = chunks.append if args.render_out else None
     mixed = tracker.run_to_completion(max_seconds=args.duration, sink=sink)
+    # Voices still running at the duration cap (infinite programs): stop
+    # them so captures flush to their WAV files.
+    tracker.stop_all()
     log(f"All waveforms finished ({len(mixed)} samples, "
         f"{len(mixed) / args.sample_rate:.2f}s)")
     if args.render_out:
