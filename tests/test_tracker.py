@@ -210,3 +210,38 @@ def test_vmapped_voice_group_mix():
         expected[st:st + len(y)] += y[:max(0, 120 - st)]
     np.testing.assert_allclose(mix, expected, atol=1e-4)
     assert not t.active  # all finished and retired through the group path
+
+
+def test_splice_and_persist_annotations(tmp_path):
+    from tuun_tpu.programs import ProgramSet
+    src = ('// a song\n'
+           '#{sliders=["gain:0.5:0:1"],level_db=-3}\n'
+           '_ = $220 * gain;\n'
+           '#{color=rgb(1, 2, 3)}\n'
+           '_ = $330;\n')
+    ps, msg = ProgramSet.from_source(src)
+    assert not msg
+    assert ps.programs[0].text == "$220 * gain"
+    # Splice new text into program 0; comments and sibling programs survive.
+    err = ps.splice(0, "$440 * gain")
+    assert err is None
+    assert "// a song" in ps.source and "$330" in ps.source
+    assert ps.programs[0].text == "$440 * gain"
+    # A bad splice is atomic: nothing changes.
+    before = ps.source
+    err = ps.splice(0, "$440 * (")
+    assert err is not None
+    assert ps.source == before
+    # Move the slider and persist: the annotation reflects the new value.
+    ps.programs[0].sliders.normalized_values[0] = 1.0
+    err = ps.persist_annotations(0)
+    assert err is None
+    assert '"gain:1:0:1"' in ps.source
+    assert "level_db=-3" in ps.source
+    # Round-trips through a fresh parse with the value intact.
+    ps2, _ = ProgramSet.from_source(ps.source)
+    assert ps2.programs[0].sliders.normalized_values[0] == 1.0
+    # Saving writes the file.
+    out = tmp_path / "song.tuun"
+    ps.save(out)
+    assert out.read_text() == ps.source

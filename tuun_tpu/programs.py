@@ -64,11 +64,13 @@ class ProgramSet:
     """The parsed source file plus its slot-mapped programs."""
 
     def __init__(self, source: str, bindings: List[SourceBinding],
-                 programs: List[Program], input_path: Optional[Path] = None):
+                 programs: List[Program], input_path: Optional[Path] = None,
+                 all_bindings: bool = False):
         self.source = source
         self.bindings = bindings
         self.programs = programs
         self.input_path = input_path
+        self._all_bindings = all_bindings
 
     @staticmethod
     def from_source(source: str, input_path: Optional[Path] = None,
@@ -95,12 +97,112 @@ class ProgramSet:
             if position < total:
                 programs[position] = program
             position += 1
-        return ProgramSet(source, bindings, programs, input_path), message
+        return (ProgramSet(source, bindings, programs, input_path,
+                           all_bindings), message)
 
     def display_name(self, index: int) -> str:
         bank = index // PROGRAMS_PER_BANK
         slot = index % PROGRAMS_PER_BANK
         return f"{chr(ord('A') + bank)}{slot + 1}"
+
+    # -- splice / persistence (programs.rs:980-1220) --------------------
+
+    def splice(self, index: int, new_text: str) -> Optional[str]:
+        """Replaces program `index`'s expression text in the source and
+        re-parses. Atomic: on a parse failure neither source nor programs
+        change and the error message is returned (None on success)."""
+        program = self.programs[index]
+        if program.span is None:
+            return "program has no source span"
+        start, end = program.span
+        new_source = self.source[:start] + new_text + self.source[end:]
+        try:
+            bindings, errors = parser.parse_module(new_source, Source.file())
+        except TuunError as e:
+            return e.message
+        if errors:
+            return errors[0].message
+        fresh, _ = ProgramSet.from_source(new_source, self.input_path,
+                                          all_bindings=self._all_bindings)
+        # Keep slider positions for unchanged labels.
+        for old_p, new_p in zip(self.programs, fresh.programs):
+            by_label = dict(zip((c.label for c in old_p.sliders.configs),
+                                old_p.sliders.normalized_values))
+            for i, c in enumerate(new_p.sliders.configs):
+                if c.label in by_label:
+                    new_p.sliders.normalized_values[i] = by_label[c.label]
+        self.source = fresh.source
+        self.bindings = fresh.bindings
+        self.programs = fresh.programs
+        return None
+
+    def annotation_text(self, index: int) -> str:
+        """The #{...} annotation set reflecting the program's current
+        state (sliders at their live values, level, color)."""
+        program = self.programs[index]
+        parts = []
+        if program.color is not None:
+            r, g, b = program.color
+            parts.append(f"color=rgb({r}, {g}, {b})")
+        if program.sliders.configs:
+            entries = []
+            for c, norm in zip(program.sliders.configs,
+                               program.sliders.normalized_values):
+                if isinstance(c.function, SliderLinear):
+                    f = c.function
+                    value = f.min + norm * (f.max - f.min)
+                    entries.append(f'"{c.label}:{_fmt(value)}:{_fmt(f.min)}'
+                                   f':{_fmt(f.max)}"')
+                elif isinstance(c.function, SliderUserDefined):
+                    entries.append(f'"{c.label}:{_fmt(norm)}'
+                                   f':{c.function.function_source}"')
+            parts.append("sliders=[" + ", ".join(entries) + "]")
+        if program.level_db:
+            parts.append(f"level_db={_fmt(program.level_db)}")
+        return "#{" + ",".join(parts) + "}" if parts else ""
+
+    def persist_annotations(self, index: int) -> Optional[str]:
+        """Rewrites program `index`'s annotation set in the source so live
+        slider/level changes survive a reload (the reference's S-key save
+        path). Returns an error message or None."""
+        import re
+        program = self.programs[index]
+        sb = self.bindings[program.binding_index]
+        if sb.span is None:
+            return "binding has no span"
+        text = self.source[sb.span.start:sb.span.end]
+        new_anno = self.annotation_text(index)
+        m = re.search(r"#\{.*?\}", text, re.DOTALL)
+        if m:
+            new_text = text[:m.start()] + new_anno + text[m.end():]
+        elif new_anno:
+            new_text = new_anno + "\n" + text
+        else:
+            return None
+        new_source = (self.source[:sb.span.start] + new_text +
+                      self.source[sb.span.end:])
+        try:
+            bindings, errors = parser.parse_module(new_source, Source.file())
+        except TuunError as e:
+            return e.message
+        if errors:
+            return errors[0].message
+        fresh, _ = ProgramSet.from_source(new_source, self.input_path,
+                                          all_bindings=self._all_bindings)
+        for old_p, new_p in zip(self.programs, fresh.programs):
+            new_p.sliders.normalized_values = list(
+                old_p.sliders.normalized_values)
+        self.source = fresh.source
+        self.bindings = fresh.bindings
+        self.programs = fresh.programs
+        return None
+
+    def save(self, path: Optional[Path] = None) -> None:
+        """Writes the (possibly spliced) source back to disk."""
+        target = path or self.input_path
+        if target is None:
+            raise ValueError("no path to save to")
+        Path(target).write_text(self.source)
 
     def evaluation_bindings(self, index: int) -> List[SourceBinding]:
         """Context for evaluating program `index`: the file's bindings that
@@ -119,6 +221,11 @@ class ProgramSet:
                                program.sliders.normalized_values,
                                MarkId.slider, out)
         return out
+
+
+def _fmt(v: float) -> str:
+    from .expr import fmt_f32
+    return fmt_f32(v)
 
 
 def _program_from_binding(sb: SourceBinding, binding_index: int, source: str,
