@@ -1,0 +1,102 @@
+"""REPL tests: drive the live-coding session programmatically."""
+
+import io
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tuun_tpu.repl import Repl
+from tuun_tpu.wav import read_wav
+
+STDLIB = Path(__file__).resolve().parent.parent / "tuun_tpu" / "stdlib" / "v0"
+
+SONG = '''// live set
+open std;
+#{sliders=["gain:0.5:0:1"]}
+_ = $10 * gain;
+#{level_db=0}
+_ = 1 | fin(time - 0.5);
+#{color=rgb(9, 9, 9)}
+_ = fn(k, v) => (v * $(@k) | fin(time - 2), 1 | fin(time - 0.05));
+'''
+
+
+def make_repl(tmp_path):
+    src = tmp_path / "song.tuun"
+    src.write_text(SONG)
+    out = io.StringIO()
+    r = Repl(sample_rate=100, tempo=60, buffer_size=20,
+             library_root=STDLIB, precision="exact", jit=False, out=out)
+    r.dispatch(f"load {src}")
+    return r, out, src
+
+
+def test_load_list_play_render(tmp_path):
+    r, out, _ = make_repl(tmp_path)
+    assert "A1" in out.getvalue() and "A2" in out.getvalue()
+    r.dispatch("play A2")
+    r.dispatch("render 1.0")
+    mix = r.rendered[-1]
+    assert np.allclose(mix[:50], 1.0, atol=1e-6)
+    assert np.allclose(mix[50:], 0.0)
+
+
+def test_slider_ramp_live(tmp_path):
+    r, out, _ = make_repl(tmp_path)
+    r.dispatch("play A1")
+    r.dispatch("render 0.2")
+    r.dispatch("slider A1 gain 0")
+    r.dispatch("render 0.4")
+    tail = r.rendered[-1][-20:]
+    np.testing.assert_allclose(tail, 0.0, atol=1e-5)
+
+
+def test_keys_flow(tmp_path):
+    r, out, _ = make_repl(tmp_path)
+    r.dispatch("keys A3")
+    assert "keys instrument installed" in out.getvalue()
+    r.dispatch("on 69 127")
+    r.dispatch("render 0.2")
+    assert np.abs(r.rendered[-1]).max() > 0
+    r.dispatch("off 69")
+    r.dispatch("render 0.5")
+    assert not r.tracker.active
+
+
+def test_edit_and_save(tmp_path):
+    r, out, src = make_repl(tmp_path)
+    r.dispatch("edit A2 0.25 | fin(time - 0.5)")
+    r.dispatch("play A2")
+    r.dispatch("render 0.4")
+    assert np.allclose(r.rendered[-1], 0.25, atol=1e-6)
+    r.dispatch("slider A1 gain 1")
+    r.dispatch(f"save {tmp_path / 'saved.tuun'}")
+    saved = (tmp_path / "saved.tuun").read_text()
+    assert "0.25 | fin(time - 0.5)" in saved
+    assert '"gain:1:0:1"' in saved
+    assert "// live set" in saved  # comments survive
+
+
+def test_render_to_wav_and_dump(tmp_path):
+    r, out, _ = make_repl(tmp_path)
+    r.dispatch("play A2")
+    wav = tmp_path / "mix.wav"
+    r.dispatch(f"render 0.6 {wav}")
+    samples, sr = read_wav(wav)
+    assert sr == 100 and np.allclose(samples[:50], 1.0)
+    r.dispatch("dump A2")
+    assert "Fin(" in out.getvalue() or "Fixed(" in out.getvalue()
+
+
+def test_error_paths(tmp_path):
+    r, out, _ = make_repl(tmp_path)
+    r.dispatch("play Z9")
+    assert "no program" in out.getvalue()
+    r.dispatch("bogus")
+    assert "unknown command" in out.getvalue()
+    r.dispatch("keys A1")  # waveform, not an instrument
+    assert "not a keys instrument" in out.getvalue()
+    r.dispatch("edit A2 1 + ")  # atomic failure
+    assert "splice failed" in out.getvalue()
