@@ -245,3 +245,26 @@ def test_splice_and_persist_annotations(tmp_path):
     out = tmp_path / "song.tuun"
     ps.save(out)
     assert out.read_text() == ps.source
+
+
+def test_deferred_sync_equivalence(tmp_path):
+    """sync_interval > 1 pipelines blocks without host syncs; output,
+    retirement and captures must match the per-block-sync tracker."""
+    def run(interval, outdir):
+        t = make_tracker(captured_output_dir=outdir, sync_interval=interval)
+        t.captured_date_format = ""
+        t.play("a", ir.Captured("cap", fin_const(0.5, 0.37)))
+        t.play("b", fin_const(0.25, 0.83), start=21)
+        mix = t.run_to_completion(max_seconds=3.0)
+        return np.asarray(mix, np.float32), t
+
+    d1 = tmp_path / "s1"; d4 = tmp_path / "s4"
+    m1, t1 = run(1, d1)
+    m4, t4 = run(4, d4)
+    n = min(len(m1), len(m4))
+    np.testing.assert_array_equal(m1[:n], m4[:n])
+    assert np.all(m4[n:] == 0) and np.all(m1[n:] == 0)
+    assert not t4.active and not t4.pending
+    a1, _ = read_wav(d1 / "cap.wav")
+    a4, _ = read_wav(d4 / "cap.wav")
+    np.testing.assert_array_equal(a1, a4)

@@ -91,7 +91,9 @@ def main(argv=None) -> int:
         args.sample_rate, args.buffer_size,
         captured_output_dir=args.output_dir,
         captured_date_format=args.date_format,
-        precision=args.precision, jit=not args.no_jit)
+        precision=args.precision, jit=not args.no_jit,
+        # Pipeline blocks between host syncs on the jitted (TPU) path.
+        sync_interval=16 if not args.no_jit else 1)
     player = Player(tracker, args.tempo, args.beats_per_measure,
                     precompute=args.precompute == "true")
 

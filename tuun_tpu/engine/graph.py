@@ -1044,6 +1044,7 @@ class CompiledVoice:
             if compiler.const_values else np.zeros((0,), np.float32)
         self._base_fixeds = tuple(compiler.fixed_values)
         self._render_jit: Dict[int, Callable] = {}
+        self._arg_cache: Dict[Tuple, Tuple] = {}
         self._init_jit = jax.jit(self._init_impl) if cfg.jit \
             else self._init_impl
 
@@ -1090,7 +1091,16 @@ class CompiledVoice:
     def render_block(self, P, state, n: int, s=0, e=None):
         if e is None:
             e = n
-        return self.render_fn(n)(P, state, jnp.int32(s), jnp.int32(e))
+        # Cache device scalars for the common full-block call: fresh host
+        # scalars cost one h2d transfer each, which dominates dispatch on
+        # high-latency device links.
+        key = (int(s), int(e), n)
+        cached = self._arg_cache.get(key)
+        if cached is None:
+            cached = (jnp.int32(s), jnp.int32(e))
+            if len(self._arg_cache) < 64:
+                self._arg_cache[key] = cached
+        return self.render_fn(n)(P, state, *cached)
 
     def batched_render_fn(self, n: int) -> Callable:
         """vmapped render over a leading voice axis with the mix summed

@@ -199,6 +199,10 @@ class Voice:
     marks: List[Mark]
     captures: Dict[str, List[np.ndarray]] = field(default_factory=dict)
     finished: bool = False
+    # Deferred-sync queues: (valid_end, e) device scalars and capture dicts
+    # awaiting resolution at the next sync point.
+    _pending_v: List = field(default_factory=list)
+    _pending_caps: List = field(default_factory=list)
 
 
 @dataclass
@@ -224,6 +228,7 @@ class VoiceGroup:
         import jax.numpy as jnp
         self.compiled = compiled
         self.voices = voices
+        self._pending: List = []  # (valid_end[B], caps) per deferred block
         self.bparams = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *[v.params for v in voices])
         self.bstate = jax.tree_util.tree_map(
@@ -232,9 +237,17 @@ class VoiceGroup:
     def render(self, n: int, starts, e):
         import jax.numpy as jnp
         fn = self.compiled.batched_render_fn(n)
+        # Cache device-resident argument buffers: a fresh host scalar per
+        # block costs a host->device transfer, which on a high-latency
+        # link dominates the whole dispatch.
+        key = (tuple(starts), e)
+        dev = getattr(self, "_arg_cache", None)
+        if dev is None or dev[0] != key:
+            self._arg_cache = (key, jnp.asarray(starts, jnp.int32),
+                               jnp.int32(e))
+        _, starts_dev, e_dev = self._arg_cache
         y_sum, v, self.bstate, caps = fn(
-            self.bparams, self.bstate, jnp.asarray(starts, jnp.int32),
-            jnp.int32(e))
+            self.bparams, self.bstate, starts_dev, e_dev)
         return y_sum, v, caps
 
     def materialize_states(self) -> None:
@@ -250,7 +263,8 @@ class Tracker:
                  captured_output_dir: str | Path = ".",
                  captured_date_format: str = "_%Y-%m-%d_%H-%M-%S",
                  precision: str = "fast", jit: bool = True, seed: int = 0,
-                 compile_cache: Optional[_CompileCache] = None):
+                 compile_cache: Optional[_CompileCache] = None,
+                 sync_interval: int = 1):
         self.sample_rate = sample_rate
         self.block_size = block_size
         self.captured_output_dir = Path(captured_output_dir)
@@ -265,6 +279,10 @@ class Tracker:
         self._groups: List[VoiceGroup] = []
         self._singles: List[Voice] = []
         self._groups_dirty = True
+        # Blocks to pipeline between host syncs (>1: streaming mode for
+        # high-latency device links; retirement/captures resolve lazily).
+        self.sync_interval = max(1, sync_interval)
+        self._since_sync = 0
 
     # -- commands ------------------------------------------------------
 
@@ -276,6 +294,7 @@ class Tracker:
         self.pending.sort(key=lambda p: p.start)
 
     def _materialize_groups(self) -> None:
+        self._sync_voices()
         for g in self._groups:
             g.materialize_states()
         self._groups = []
@@ -309,6 +328,7 @@ class Tracker:
         self.pending = [p for p in self.pending if p.id != wid]
 
     def stop_all(self) -> None:
+        self._sync_voices()
         for voice in self.active:
             self._close_voice(voice)
         self.active = []
@@ -338,11 +358,21 @@ class Tracker:
                 off += m
         return voice
 
-    def _render_voice(self, voice: Voice, e: int, s: int) -> np.ndarray:
+    def _render_voice(self, voice: Voice, e: int, s: int, defer: bool = False):
+        """One block for one voice. With defer=True nothing is pulled off
+        the device: the valid scalar and capture slices queue on the voice
+        and resolve at the next sync point (samples beyond a voice's end
+        are zeros by the engine contract, so the mix needs no host-side
+        finish knowledge)."""
         n = self.block_size
         y, v, state, caps = voice.compiled.render_block(
             voice.params, voice.state, n, s, e)
         voice.state = state
+        if defer:
+            voice._pending_v.append((v, e))
+            if caps:
+                voice._pending_caps.append(caps)
+            return y
         v = int(v)
         if v < e:
             voice.finished = True
@@ -351,11 +381,7 @@ class Tracker:
             if cv_i > cs_i:
                 voice.captures.setdefault(stem, []).append(
                     np.asarray(cy[cs_i:cv_i], np.float32))
-        out = np.asarray(y, np.float32)
-        if v < n:
-            out = out.copy()
-            out[v:] = 0.0
-        return out
+        return np.asarray(y, np.float32)
 
     def render_block(self) -> Tuple[np.ndarray, Status]:
         """Renders the next block of `block_size` samples (the audio
@@ -388,50 +414,135 @@ class Tracker:
         if self._groups_dirty:
             self._rebuild_groups()
 
-        finished: List[Voice] = []
+        # With sync_interval > 1, valid-ends and captures queue on-device
+        # and the mix is returned as a device array: blocks pipeline into
+        # the TPU without paying the host<->device round trip each block
+        # (finished voices keep emitting zeros, so the mix stays correct
+        # until the next sync retires them).
+        defer = self.sync_interval > 1
+        acc = None
         for voice in self._singles:
             s = max(voice.start - block_start, 0)
-            out += self._render_voice(voice, n, s)
-            if voice.finished:
-                finished.append(voice)
+            y = self._render_voice(voice, n, s, defer=defer)
+            acc = y if acc is None else acc + y
         for group in self._groups:
             starts = [max(v.start - block_start, 0) for v in group.voices]
             y_sum, v_arr, caps = group.render(n, starts, n)
-            out += np.asarray(y_sum, np.float32)
-            v_np = np.asarray(v_arr)
-            for i, voice in enumerate(group.voices):
-                for stem, (cy, cs, cv) in caps.items():
-                    cs_i, cv_i = int(cs[i]), int(cv[i])
-                    if cv_i > cs_i:
-                        voice.captures.setdefault(stem, []).append(
-                            np.asarray(cy[i, cs_i:cv_i], np.float32))
-                if int(v_np[i]) < n:
-                    voice.finished = True
-                    finished.append(voice)
-            if any(v.finished for v in group.voices):
-                group.materialize_states()
-                self._groups_dirty = True
-        if finished:
-            self._groups_dirty = True
-            for voice in finished:
-                self._close_voice(voice)
-            self.active = [v for v in self.active if not v.finished]
-            self._singles = [v for v in self._singles if not v.finished]
+            group._pending.append((v_arr, caps))
+            acc = y_sum if acc is None else acc + y_sum
         self.now = block_end
+        self._since_sync += 1
+        if not defer:
+            self._sync_voices(drain=True)
+        elif self._since_sync >= self.sync_interval:
+            self._sync_voices(drain=False)
+        if acc is None:
+            out = np.zeros(n, dtype=np.float32)
+        else:
+            out = acc if defer else np.asarray(acc, np.float32)
 
         status = Status(buffer_start=block_start, voices=len(self.active))
-        for voice in finished:
-            status.marks.extend(voice.marks)
         for voice in self.active:
             status.marks.extend(voice.marks)
         for p in self.pending:
             status.marks.extend(p.marks)
         if self.send_current_buffer:
-            status.buffer = out.copy()
+            status.buffer = np.asarray(out, np.float32).copy()
             self.send_current_buffer = False
         elapsed = _time.perf_counter() - t0
         status.tracker_load = elapsed * self.sample_rate / n
         return out, status
+
+    def _stage_pending(self):
+        """Packs all queued valid-ends into one device array, starts its
+        async copy to host, and returns (packed, plan) where plan describes
+        how to unpack. The blocking resolution happens one sync window
+        later, so the copy latency overlaps with rendering."""
+        import jax.numpy as jnp
+        flat: List = []
+        plan: List = []  # ("single", voice, e) | ("group", group, caps)
+        for voice in self._singles:
+            for (v, e) in voice._pending_v:
+                flat.append(jnp.atleast_1d(v))
+                plan.append(("single", voice, e))
+            caps_list = voice._pending_caps
+            voice._pending_v = []
+            voice._pending_caps = []
+            for caps in caps_list:
+                plan.append(("caps", voice, caps))
+        for group in self._groups:
+            for (v_arr, caps) in group._pending:
+                flat.append(jnp.atleast_1d(v_arr))
+                plan.append(("group", group, caps))
+            group._pending = []
+        if not flat:
+            return None
+        packed = jnp.concatenate(flat)
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        return packed, plan
+
+    def _resolve_staged(self, staged) -> None:
+        if staged is None:
+            return
+        packed, plan = staged
+        data = np.asarray(packed)
+        cursor = 0
+        for kind, target, extra in plan:
+            if kind == "single":
+                v = data[cursor]
+                cursor += 1
+                if int(v) < int(extra):
+                    target.finished = True
+            elif kind == "group":
+                b = len(target.voices)
+                v_np = data[cursor:cursor + b]
+                cursor += b
+                for i, voice in enumerate(target.voices):
+                    caps = extra
+                    for stem, (cy, cs, cv) in caps.items():
+                        cs_i, cv_i = int(cs[i]), int(cv[i])
+                        if cv_i > cs_i:
+                            voice.captures.setdefault(stem, []).append(
+                                np.asarray(cy[i, cs_i:cv_i], np.float32))
+                    if int(v_np[i]) < self.block_size:
+                        voice.finished = True
+            else:  # caps on a single voice
+                voice, caps = target, extra
+                for stem, (cy, cs, cv) in caps.items():
+                    cs_i, cv_i = int(cs), int(cv)
+                    if cv_i > cs_i:
+                        voice.captures.setdefault(stem, []).append(
+                            np.asarray(cy[cs_i:cv_i], np.float32))
+
+    def _sync_voices(self, drain: bool = True) -> None:
+        """Resolves queued device scalars: voice finishes, retirement, and
+        capture slices. With drain=False only the PREVIOUS window's staged
+        copy is resolved (its data is already on the wire) and the current
+        window is staged — no blocking wait on fresh computation. With
+        drain=True everything resolves now (needed before Modify, stop,
+        regroup, or termination checks)."""
+        self._since_sync = 0
+        prior = getattr(self, "_staged", None)
+        self._staged = None
+        self._resolve_staged(prior)
+        staged = self._stage_pending()
+        if drain:
+            self._resolve_staged(staged)
+        else:
+            self._staged = staged
+        finished = [v for v in self.active if v.finished]
+        if finished:
+            for group in self._groups:
+                if any(v.finished for v in group.voices):
+                    group.materialize_states()
+            self._groups_dirty = True
+            for voice in finished:
+                self._close_voice(voice)
+            self.active = [v for v in self.active if not v.finished]
+            self._singles = [v for v in self._singles if not v.finished]
 
     def _rebuild_groups(self) -> None:
         """Regroups active voices by compiled structure: groups of >= 2
@@ -473,6 +584,9 @@ class Tracker:
             chunks.append(y)
             if sink is not None:
                 sink(y)
-            if not self.active and not self.pending:
+            # Termination is only decidable at sync points.
+            if self._since_sync == 0 and not self.active and not self.pending:
                 break
-        return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+        if not chunks:
+            return np.zeros(0, np.float32)
+        return np.concatenate([np.asarray(c, np.float32) for c in chunks])
