@@ -100,3 +100,18 @@ def test_error_paths(tmp_path):
     assert "not a keys instrument" in out.getvalue()
     r.dispatch("edit A2 1 + ")  # atomic failure
     assert "splice failed" in out.getvalue()
+
+
+def test_undo_redo(tmp_path):
+    r, out, _ = make_repl(tmp_path)
+    r.dispatch("edit A2 0.25 | fin(time - 0.5)")
+    r.dispatch("edit A2 0.75 | fin(time - 0.5)")
+    r.dispatch("undo A2")
+    assert "0.25 | fin(time - 0.5)" in r.programs.source
+    r.dispatch("redo A2")
+    assert "0.75 | fin(time - 0.5)" in r.programs.source
+    r.dispatch("undo A2")
+    r.dispatch("undo A2")  # back to the original
+    assert "1 | fin(time - 0.5)" in r.programs.source
+    r.dispatch("undo A2")
+    assert "nothing to undo" in out.getvalue()

@@ -268,3 +268,36 @@ def test_deferred_sync_equivalence(tmp_path):
     a1, _ = read_wav(d1 / "cap.wav")
     a4, _ = read_wav(d4 / "cap.wav")
     np.testing.assert_array_equal(a1, a4)
+
+
+def test_metric_ring_buffer():
+    from tuun_tpu.metric import Metric
+    clock = [0.0]
+    m = Metric(window_seconds=1.0, buckets=10, clock=lambda: clock[0])
+    m.set(1.0)
+    m.set(3.0)       # same bucket -> averaged
+    clock[0] = 0.35  # advance 3 buckets
+    m.set(10.0)
+    s = m.series()
+    assert s[-1] == 10.0
+    assert s[-4] == 2.0
+    assert s[-2] is None and s[-3] is None
+    assert m.latest() == 10.0
+    clock[0] = 5.0   # far beyond the window: everything expires
+    assert m.latest() is None
+
+
+def test_edit_history():
+    from tuun_tpu.programs import EditHistory
+    h = EditHistory("a")
+    h.record("ab", coalesce=True)
+    h.record("abc", coalesce=True)   # coalesces with the previous insert
+    h.record("abc d")                # discrete edit
+    assert h.current == "abc d"
+    assert h.undo() == "abc"
+    assert h.undo() == "a"
+    assert h.undo() is None
+    assert h.redo() == "abc"
+    h.record("abX")                  # new edit clears the redo stack
+    assert h.redo() is None
+    assert h.undo() == "abc"

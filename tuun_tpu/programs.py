@@ -257,3 +257,48 @@ def _read_skip_slots(sb: SourceBinding) -> int:
         if isinstance(anno, ASkipSlots):
             return anno.count
     return 0
+
+
+class EditHistory:
+    """Undo/redo stack for one program's text (port of programs.rs's
+    EditHistory): capped at 100 entries, with consecutive single-character
+    insertions coalesced into one undo unit."""
+
+    CAP = 100
+
+    def __init__(self, initial: str):
+        self._undo: List[str] = [initial]
+        self._redo: List[str] = []
+        self._coalescing = False
+
+    @property
+    def current(self) -> str:
+        return self._undo[-1]
+
+    def record(self, text: str, coalesce: bool = False) -> None:
+        """Pushes a new state. With coalesce=True, a run of consecutive
+        coalesced edits (e.g. typing) collapses into one undo step."""
+        if text == self.current:
+            return
+        if coalesce and self._coalescing:
+            self._undo[-1] = text
+        else:
+            self._undo.append(text)
+            if len(self._undo) > self.CAP:
+                self._undo.pop(0)
+        self._coalescing = coalesce
+        self._redo = []
+
+    def undo(self) -> Optional[str]:
+        if len(self._undo) < 2:
+            return None
+        self._redo.append(self._undo.pop())
+        self._coalescing = False
+        return self.current
+
+    def redo(self) -> Optional[str]:
+        if not self._redo:
+            return None
+        self._undo.append(self._redo.pop())
+        self._coalescing = False
+        return self.current

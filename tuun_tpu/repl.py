@@ -51,6 +51,7 @@ class Repl:
         self.keys_program: Optional[int] = None
         self._keys_fn = None
         self._note_offs: Dict[int, ir.Waveform] = {}
+        self._histories: Dict[int, object] = {}
         self.rendered: List[np.ndarray] = []
         self.running = True
 
@@ -264,11 +265,35 @@ class Repl:
     def cmd_edit(self, name: str, *text: str):
         ps = self._require_programs()
         index = self._slot(name)
+        from .programs import EditHistory
+        history = self._histories.setdefault(
+            index, EditHistory(ps.programs[index].text))
         err = ps.splice(index, " ".join(text))
         if err:
             self.log(f"splice failed (source unchanged): {err}")
         else:
+            history.record(ps.programs[index].text)
             self.log(f"updated {ps.display_name(index)}")
+
+    def cmd_undo(self, name: str):
+        self._apply_history(name, "undo")
+
+    def cmd_redo(self, name: str):
+        self._apply_history(name, "redo")
+
+    def _apply_history(self, name: str, op: str):
+        ps = self._require_programs()
+        index = self._slot(name)
+        history = self._histories.get(index)
+        text = getattr(history, op)() if history else None
+        if text is None:
+            self.log(f"nothing to {op}")
+            return
+        err = ps.splice(index, text)
+        if err:
+            self.log(f"{op} failed: {err}")
+        else:
+            self.log(f"{op}: {ps.display_name(index)} = {text[:50]}")
 
     def cmd_save(self, path: str = ""):
         ps = self._require_programs()
