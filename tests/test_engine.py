@@ -282,3 +282,17 @@ def test_gated_capture_not_skipped():
     assert "tail" in caps
     ref = oracle.render(w, 8, 1)
     np.testing.assert_allclose(np.asarray(y)[:int(v)], ref, atol=1e-6)
+
+
+def test_reset_stateful_segment_path_dense_edges():
+    """The segment-parallel path and the per-sample fallback must both
+    match the oracle; dense edges force the fallback via lax.cond."""
+    chirp = Sine(BinaryPointOp(Operator.MULTIPLY, Time(), Const(math.tau)),
+                 Const(0.0))
+    # Fast trigger: edge every ~2-3 samples at sr=1 -> exceeds max_seg on
+    # small blocks.
+    w = Reset(sin_waveform(0.4, 0.0), chirp)
+    diff_test(w, 48, atol=1e-5, blocks=(16, 48))
+    # Sparse edges: the segment path.
+    w2 = Reset(sin_waveform(0.02, 0.0), chirp)
+    diff_test(w2, 120, atol=1e-5, blocks=(64,))

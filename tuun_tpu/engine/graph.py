@@ -755,23 +755,71 @@ class CReset(Node):
                              _value_at(ctx, sg, vt - 1, sign), sign)
             return y, vt, (sign, age, strg, sinn)
 
-        # Stateful inner: per-sample scan, re-initializing at each edge.
+        # Stateful inner. Fast path: scan over *segments* (trigger edges),
+        # rendering the inner as a full block program per segment — audio-
+        # rate resets have tens of edges per block, not thousands. The
+        # per-sample scan remains as a lax.cond fallback when a block has
+        # more edges than the segment budget, so output is always exact.
         inner = self.inner
         fresh = inner.init(P)
-        sctx = Ctx(1, allow_captures=False)
+        max_seg = min(max(4, min(64, ctx.n // 4)), ctx.n)
+        n_edges = jnp.sum(edge.astype(f32)).astype(i32)
 
-        def step(carry, xs):
-            st_inner, = carry
-            is_edge, active = xs
-            st_inner = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(is_edge, a, b), fresh, st_inner)
-            y1, v1, st_new = inner.render(P, st_inner, jnp.int32(0),
-                                          jnp.where(active, 1, 0), sctx)
-            st_inner = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(active, a, b), st_new, st_inner)
-            return (st_inner,), jnp.where(active, y1[0], 0.0)
+        def segments(_):
+            # Lanes of the first max_seg edges, ascending (pad with vt: the
+            # inner only ever advances within the trigger's validity).
+            nctx = Ctx(ctx.n, allow_captures=False)
+            masked = jnp.where(edge, ctx.fidx, BIGF)
+            neg_topk, _ = jax.lax.top_k(-masked, max_seg)
+            starts = jnp.minimum((-neg_topk).astype(i32), vt)  # ascending
 
-        (sinn,), y = jax.lax.scan(step, (sinn,), (edge, m))
+            # Segment 0 continues the carried state from [s, first edge);
+            # every edge segment restarts from a fresh state — identical
+            # programs over different offsets, so ALL of them render in one
+            # vmapped call instead of a sequential scan.
+            y0, _, st0 = inner.render(P, sinn, s, vt, nctx)
+            hi0 = jnp.minimum(starts[0], vt)
+            total = jnp.where((ctx.idx >= s) & (ctx.idx < hi0), y0, 0.0)
+
+            def render_at(lo):
+                y_j, _, st_out = inner.render(P, fresh, lo, vt, nctx)
+                return y_j, st_out
+            ys, sts = jax.vmap(render_at)(starts)  # [max_seg, N], stacked
+            his = jnp.concatenate([starts[1:], jnp.atleast_1d(vt)])
+            in_seg = (ctx.idx[None, :] >= starts[:, None]) & \
+                (ctx.idx[None, :] < jnp.minimum(his, vt)[:, None])
+            total = total + jnp.sum(jnp.where(in_seg, ys, 0.0), axis=0)
+
+            # Final carry: the last real segment's state (or segment 0's).
+            sel = jnp.clip(n_edges - 1, 0, max_seg - 1)
+            st_fin = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(n_edges == 0, a, b[sel]), st0, sts)
+            return total, st_fin
+
+        def per_sample(_):
+            sctx = Ctx(1, allow_captures=False)
+
+            def step(carry, xs):
+                st_inner, = carry
+                is_edge, active = xs
+                st_inner = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(is_edge, a, b), fresh, st_inner)
+                y1, v1, st_new = inner.render(P, st_inner, jnp.int32(0),
+                                              jnp.where(active, 1, 0), sctx)
+                st_inner = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(active, a, b), st_new, st_inner)
+                return (st_inner,), jnp.where(active, y1[0], 0.0)
+
+            (st_fin,), y = jax.lax.scan(step, (sinn,), (edge, m))
+            return y, st_fin
+
+        if self.cfg.jit:
+            y, sinn = jax.lax.cond(n_edges <= max_seg, segments,
+                                   per_sample, None)
+        else:  # eager mode: pick the exercised path directly
+            y, sinn = (segments(None) if int(n_edges) <= max_seg
+                       else per_sample(None))
+        y = jnp.where(m, y, 0.0)
         nonempty = vt > s
         sign = jnp.where(nonempty, _value_at(ctx, sg, vt - 1, sign), sign)
         return y, vt, (sign, age, strg, sinn)
