@@ -16,8 +16,7 @@ import numpy as np
 
 from . import ir, optimizer
 from .expr import (EApply, EBool, EBuiltIn, EError, EFloat, EList, ESeq,
-                   EString, ETuple, EWaveform, Expr, SourceBinding,
-                   definition, f32)
+                   EString, EWaveform, Expr, SourceBinding, definition, f32)
 
 F32 = np.float32
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
-from .expr import Span, TuunError, line_col
+from .expr import TuunError, line_col
 
 
 @dataclass(frozen=True)

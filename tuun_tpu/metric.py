@@ -8,7 +8,7 @@ can be injected for deterministic tests (the reference uses MockClock)."""
 from __future__ import annotations
 
 import time as _time
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Optional
 
 
 class Metric:

@@ -16,7 +16,7 @@ import re
 from typing import Any, Callable, List, Optional, Tuple
 
 from .expr import (AColor, ALevel, ASkipSlots, ASliders, Annotation, BDef,
-                   BEmpty, BOpen, EApply, EBool, EError, EFloat, EFunction,
+                   BEmpty, BOpen, EApply, EError, EFloat, EFunction,
                    EIf, EList, EString, ETuple, EVar, Expr, PIdent, PTuple,
                    Pattern, Slider, SliderLinear, SliderUserDefined,
                    SourceBinding, Span, TuunError, error_placeholder, f32)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import shlex
 import sys
 from pathlib import Path
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 

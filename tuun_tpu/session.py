@@ -24,7 +24,7 @@ from .evaluator import Evaluator
 from .expr import (EBuiltIn, EFloat, EFunction, ESeq, EWaveform, Expr,
                    Slider, TuunError)
 from .ids import MarkId, WaveformId
-from .player import Player, build_top_level_waveform, substitute_slider_values
+from .player import Player, substitute_slider_values
 from .programs import ProgramSliders
 from .sliders import append_slider_bindings, denormalize_or_zero, make_ramp
 from .tracker import Tracker
