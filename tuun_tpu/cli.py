@@ -203,6 +203,11 @@ def main(argv=None) -> int:
     # Voices still running at the duration cap (infinite programs): stop
     # them so captures flush to their WAV files.
     tracker.stop_all()
+    # Deferred syncs render whole windows past the last voice; trim the
+    # trailing silence (keep one buffer of padding).
+    nz = np.nonzero(mixed)[0]
+    if len(nz):
+        mixed = mixed[:min(len(mixed), int(nz[-1]) + 1 + args.buffer_size)]
     log(f"All waveforms finished ({len(mixed)} samples, "
         f"{len(mixed) / args.sample_rate:.2f}s)")
     if args.render_out:
