@@ -115,3 +115,40 @@ def test_undo_redo(tmp_path):
     assert "1 | fin(time - 0.5)" in r.programs.source
     r.dispatch("undo A2")
     assert "nothing to undo" in out.getvalue()
+
+
+def test_loop_and_status(tmp_path):
+    r, out, _ = make_repl(tmp_path)
+    r.dispatch("loop A2 1")   # quarter=1s at tempo 60, measure=4s
+    assert "looping A2" in out.getvalue()
+    r.dispatch("status")
+    assert "pending" in out.getvalue()
+    # A measure is 400 samples at sr=100; render past the start.
+    r.dispatch("render 4.5")
+    mix = np.concatenate(r.rendered)
+    assert np.abs(mix[:400]).max() == 0.0   # before the first measure
+    assert np.abs(mix[400:450]).max() > 0.5  # first repetition playing
+    r.dispatch("stop")
+
+
+def test_cli_ui_flag_launches_repl(monkeypatch, tmp_path):
+    from tuun_tpu import cli
+    launched = {}
+
+    class FakeRepl:
+        def __init__(self, **kw):
+            launched.update(kw)
+
+        def dispatch(self, line):
+            launched["loaded"] = line
+
+        def run(self):
+            launched["ran"] = True
+
+    import tuun_tpu.repl as repl_mod
+    monkeypatch.setattr(repl_mod, "Repl", FakeRepl)
+    src = tmp_path / "x.tuun"
+    src.write_text("open std;\n#{level_db=0}\n_ = $10;\n")
+    rc = cli.main(["--ui", "true", str(src), "--no-jit"])
+    assert rc == 0 and launched.get("ran")
+    assert "load" in launched.get("loaded", "")

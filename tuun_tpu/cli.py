@@ -84,6 +84,20 @@ def main(argv=None) -> int:
         print("error: provide an input file or --expr", file=sys.stderr)
         return 2
 
+    if args.ui == "true":
+        # The interactive surface of the TPU build is the live-coding REPL
+        # (the reference's --ui launches its SDL2 window).
+        from .repl import Repl
+        repl = Repl(sample_rate=args.sample_rate, tempo=args.tempo,
+                    beats_per_measure=args.beats_per_measure,
+                    buffer_size=args.buffer_size,
+                    library_root=resolve_library_root(args),
+                    precision=args.precision, jit=not args.no_jit)
+        if args.input_file:
+            repl.dispatch(f"load {args.input_file}")
+        repl.run()
+        return 0
+
     log = (lambda *a: None) if args.quiet else print
     library_root = resolve_library_root(args)
     evaluator = Evaluator(args.sample_rate, args.tempo, library_root)

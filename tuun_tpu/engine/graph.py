@@ -1083,6 +1083,10 @@ class CompiledVoice:
     """
 
     def __init__(self, w: ir.Waveform, cfg: EngineConfig):
+        if cfg.precision == "exact" and not jax.config.jax_enable_x64:
+            # Exact mode's f64 phase math silently degrades to f32 without
+            # the x64 flag; turn it on rather than mislead.
+            jax.config.update("jax_enable_x64", True)
         self.cfg = cfg
         self.waveform = w
         compiler = Compiler(cfg)
