@@ -1,0 +1,137 @@
+"""Differential fuzzing: random IR trees, oracle vs engine, many block sizes.
+
+The interval algebra has a large state space (finite/infinite operands,
+merge extension, append switchover, fin cutoffs, filter delays, reset
+edges, nested everything); random trees cover corners the hand-written
+tests don't."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from tuun_tpu import engine, ir, optimizer, oracle
+
+SR = 4
+
+
+def random_waveform(rng: random.Random, depth: int) -> ir.Waveform:
+    leaves = ["const", "time", "fixed", "noise"]
+    inner = ["binop", "fin", "append", "sine", "filter", "reset", "alt",
+             "marked"]
+    kind = rng.choice(leaves if depth <= 0 else leaves + inner * 3)
+    if kind == "const":
+        return ir.Const(round(rng.uniform(-3, 3), 2))
+    if kind == "time":
+        return ir.Time()
+    if kind == "noise":
+        return ir.Noise()
+    if kind == "fixed":
+        n = rng.randint(0, 6)
+        return ir.Fixed([round(rng.uniform(-2, 2), 2) for _ in range(n)])
+    sub = lambda: random_waveform(rng, depth - 1)
+    if kind == "binop":
+        op = rng.choice(list(ir.Operator))
+        if op == ir.Operator.POWER:
+            # keep pow well-defined: positive base
+            return ir.BinaryPointOp(op, ir.Const(round(rng.uniform(0.2, 2), 2)),
+                                    sub())
+        return ir.BinaryPointOp(op, sub(), sub())
+    if kind == "fin":
+        if rng.random() < 0.7:
+            length = ir.BinaryPointOp(
+                ir.Operator.SUBTRACT, ir.Time(),
+                ir.Const(round(rng.uniform(0, 4), 2)))
+        else:
+            length = sub()  # arbitrary length waveform: value path
+        return ir.Fin(length, sub())
+    if kind == "append":
+        return ir.Append(sub(), sub())
+    if kind == "sine":
+        freq = rng.choice([
+            ir.Const(round(rng.uniform(0, 8), 2)),
+            ir.BinaryPointOp(ir.Operator.MULTIPLY, ir.Time(),
+                             ir.Const(round(rng.uniform(0, 3), 2))),
+            sub()])
+        return ir.Sine(freq, sub())
+    if kind == "filter":
+        k = rng.randint(1, 3)
+        j = rng.randint(0, 2)
+        coeff = lambda: rng.choice([
+            ir.Const(round(rng.uniform(-0.6, 0.6), 2)), sub()])
+        return ir.Filter(sub(), [coeff() for _ in range(k)],
+                         [coeff() for _ in range(j)])
+    if kind == "reset":
+        trig = ir.Sine(ir.Const(round(rng.uniform(0.5, 6), 2)),
+                       ir.Const(round(rng.uniform(0, 6), 2)))
+        return ir.Reset(trig, sub())
+    if kind == "alt":
+        return ir.Alt(sub(), sub(), sub())
+    if kind == "marked":
+        return ir.Marked(rng.randint(0, 5), sub())
+    raise AssertionError(kind)
+
+
+def ill_conditioned(w: ir.Waveform, n: int, seed: int) -> bool:
+    """Any subtree blowing past 1e5 amplifies f32 last-bit rounding
+    chaotically (e.g. sin() of a 1e9-magnitude phase from an unstable
+    feedback filter has zero significant bits); differential comparison
+    of such trees is meaningless."""
+    for sub in w.walk():
+        try:
+            v = oracle.render(sub, n, SR, seed=seed)
+        except Exception:
+            return True
+        if len(v) and np.nanmax(np.abs(v)) > 1e5:
+            return True
+    return False
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_fuzz_engine_vs_oracle(seed):
+    rng = random.Random(seed)
+    w = random_waveform(rng, depth=3)
+    n = 24
+    ref = oracle.render(w, n, SR, seed=seed)
+    if not np.all(np.isfinite(ref)):
+        pytest.skip("unstable filter / inf samples")
+    if ill_conditioned(w, n, seed):
+        pytest.skip("ill-conditioned: internal magnitudes amplify rounding")
+    # Noise streams are keyed by pre-order node position; the optimizer
+    # reshapes the tree, so optimized-form comparison only holds for
+    # noise-free graphs (matching the reference, whose noise is never
+    # reproducible at all).
+    has_noise = any(isinstance(x, ir.Noise) for x in w.walk())
+    forms = (w,) if has_noise else (w, optimizer.optimize(w))
+    for form in forms:
+        for block in (3, 8, 32):
+            # Compare against the oracle generating with the SAME block
+            # segmentation: non-const filter coefficients are generated
+            # into fresh zero buffers per generate() window (as in the
+            # reference), so written-but-invalid coefficient samples — which
+            # downstream taps legitimately read — depend on the blocking.
+            ref_b = oracle.render(form, n, SR, seed=seed, block=block)
+            got = engine.render(form, n, SR, precision="exact", seed=seed,
+                                block=block, jit=False)
+            assert len(got) == len(ref_b), (
+                f"seed={seed} block={block} len {len(got)} != {len(ref_b)}\n{form}")
+            np.testing.assert_allclose(
+                got, ref_b, atol=2e-4, rtol=1e-3,
+                err_msg=f"seed={seed} block={block}\n{form}")
+
+
+@pytest.mark.parametrize("seed", range(40, 56))
+def test_fuzz_native_vs_oracle(seed):
+    from tuun_tpu import native
+    if not native.native_available():
+        pytest.skip("no native toolchain")
+    rng = random.Random(seed)
+    w = random_waveform(rng, depth=4)
+    n = 48
+    ref = oracle.render(w, n, SR, seed=seed)
+    got = native.render(w, n, SR, seed=seed, block=7)
+    assert len(got) == len(ref), f"seed={seed}\n{w}"
+    mask = np.isfinite(ref)
+    np.testing.assert_allclose(got[mask], ref[mask], atol=1e-5, rtol=1e-4,
+                               err_msg=f"seed={seed}\n{w}")

@@ -64,6 +64,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", default="fast",
                    choices=["fast", "exact"])
     p.add_argument("--no-jit", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX backend (an env-pinned JAX_PLATFORMS "
+                        "overrides the JAX_PLATFORMS variable, so eager "
+                        "debug runs need an in-process switch to reach "
+                        "the CPU)")
     p.add_argument("--dump", action="store_true")
     p.add_argument("--quiet", action="store_true")
     return p
@@ -80,6 +85,11 @@ def resolve_library_root(args) -> Path:
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
+    if args.platform is not None:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.precision == "exact":
+            jax.config.update("jax_enable_x64", True)
     if args.input_file is None and args.expr is None:
         print("error: provide an input file or --expr", file=sys.stderr)
         return 2

@@ -4,9 +4,15 @@ This is the TPU-native replacement for the reference's pull-based per-sample
 interpreter (generator.rs): instead of mutable node state and per-sample
 loops, each waveform compiles into a pure function
 
-    render(params, state, s, e) -> (samples[N], valid_end, state')
+    render(params, state, s, e) -> (samples[N], valid_end, written_end, state')
 
-over fixed-size blocks of N lanes.  `[s, e)` is the active interval within
+over fixed-size blocks of N lanes.  `written_end` tracks how far the node
+actually wrote samples — the reference's generate() may write past the
+length it returns (a Sine writes up to its frequency's length but returns
+its phase's length), and consumers like merge extension, Alt branches and
+filter coefficients read those written-but-invalid samples; the engine
+reproduces that by keeping each node's output "as written" and masking to
+the valid interval only at the top level.  `[s, e)` is the active interval within
 the block (intervals, not arbitrary masks: every reference length rule —
 Append offsets, Fin truncation, Add/Merge combination — produces contiguous
 prefixes).  All control flow becomes interval arithmetic on traced int32
@@ -190,7 +196,7 @@ def _gated_render(node: "Node", P, st, s, e, ctx: "Ctx"):
         return node.render(P, st, s, e, ctx)
 
     def skip(_):
-        return jnp.zeros(ctx.n, f32), e + jnp.int32(0), st
+        return jnp.zeros(ctx.n, f32), e + jnp.int32(0), e + jnp.int32(0), st
     return jax.lax.cond(s < e, active, skip, None)
 
 
@@ -242,7 +248,7 @@ class CConst(Node):
 
     def render(self, P, st, s, e, ctx):
         y = jnp.where(_mask(ctx, s, e), P.consts[self.index], 0.0)
-        return y.astype(f32), e, st
+        return y.astype(f32), e, e, st
 
     def advance(self, P, st, s, e, ctx):
         return e, st
@@ -262,7 +268,7 @@ class CTime(Node):
         local = pos + ctx.idx - s
         y = jnp.where(_mask(ctx, s, e),
                       local.astype(f32) / f32(self.cfg.sample_rate), 0.0)
-        return y, e, (pos + jnp.maximum(e - s, 0),)
+        return y, e, e, (pos + jnp.maximum(e - s, 0),)
 
     def advance(self, P, st, s, e, ctx):
         return e, (st[0] + jnp.maximum(e - s, 0),)
@@ -283,7 +289,7 @@ class CNoise(Node):
         local = jnp.maximum(pos + ctx.idx - s, 0)
         y = jnp.where(_mask(ctx, s, e),
                       noise_jnp(P.seed, jnp.uint32(self.uid), local), 0.0)
-        return y, e, (pos + jnp.maximum(e - s, 0),)
+        return y, e, e, (pos + jnp.maximum(e - s, 0),)
 
     def advance(self, P, st, s, e, ctx):
         return e, (st[0] + jnp.maximum(e - s, 0),)
@@ -323,7 +329,7 @@ class CFixed(Node):
             win = jax.lax.dynamic_slice(padded, (base,), (ctx.n,))
             win = jnp.roll(win, base - start)
             y = jnp.where(_mask(ctx, s, v), win, 0.0)
-        return y, v, (pos + take,)
+        return y, v, v, (pos + take,)
 
     def advance(self, P, st, s, e, ctx):
         pos = st[0]
@@ -353,11 +359,17 @@ class CAppend(Node):
     def render(self, P, st, s, e, ctx):
         a_done, sa, sb = st
         ea = jnp.where(a_done, s, e)
-        ya, va, sa = _gated_render(self.a, P, sa, s, ea, ctx)
+        ya, va, wa, sa = _gated_render(self.a, P, sa, s, ea, ctx)
         a_done = a_done | (va < ea)
         bs = jnp.where(va < e, va, e)
-        yb, vb, sb = _gated_render(self.b, P, sb, bs, e, ctx)
-        return ya + yb, jnp.where(va < e, vb, va), (a_done, sa, sb)
+        yb, vb, wb, sb = _gated_render(self.b, P, sb, bs, e, ctx)
+        # b overwrites the shared buffer from va; a's overrun writes
+        # survive where b didn't write (reference buffer behavior).
+        l = ctx.idx
+        y = jnp.where(l < va, ya,
+                      jnp.where(l < wb, yb, jnp.where(l < wa, ya, 0.0)))
+        return (y, jnp.where(va < e, vb, va), jnp.maximum(wa, wb),
+                (a_done, sa, sb))
 
     def advance(self, P, st, s, e, ctx):
         a_done, sa, sb = st
@@ -394,17 +406,22 @@ class CBinary(Node):
 
     def render(self, P, st, s, e, ctx):
         sa, sb = st
-        ya, va, sa = self.a.render(P, sa, s, e, ctx)
+        ya, va, wa, sa = self.a.render(P, sa, s, e, ctx)
         merge = self.op == ir.Operator.MERGE
         eb = e if merge else va
-        yb, vb, sb = self.b.render(P, sb, s, eb, ctx)
+        yb, vb, wb, sb = self.b.render(P, sb, s, eb, ctx)
+        l = ctx.idx
         if merge:
             v = jnp.maximum(va, vb)
-            y = ya + yb  # both already zero-extended outside their valid runs
+            # [va, v) of the shared buffer is zero-filled before the op, so
+            # a's overrun writes vanish inside the result but survive
+            # beyond it (generator.rs:543,560-566).
+            a_z = jnp.where(l < va, ya, 0.0)
+            y = jnp.where(_mask(ctx, s, v), a_z + yb, ya)
         else:
             v = jnp.minimum(va, vb)
-            y = jnp.where(_mask(ctx, s, v), _apply_op(self.op, ya, yb), 0.0)
-        return y, v, (sa, sb)
+            y = jnp.where(_mask(ctx, s, v), _apply_op(self.op, ya, yb), ya)
+        return y, v, jnp.maximum(wa, v), (sa, sb)
 
     def advance(self, P, st, s, e, ctx):
         sa, sb = st
@@ -469,24 +486,31 @@ class CSine(Node):
         if self.nco:
             # Constant frequency: the frequency subtree is a constant
             # expression (its state advancement is a no-op), so skip it.
-            yp, vp, sp = self.phase.render(P, sp, s, e, ctx)
+            yp, vp, wp, sp = self.phase.render(P, sp, s, e, ctx)
             inc = self._nco_inc(P)
             local = (ctx.idx - s).astype(jnp.uint32)
             ph = acc + local * inc
             angle = (ph >> jnp.uint32(8)).astype(f32) * f32(self.NCO_TO_RAD)
-            y = jnp.where(_mask(ctx, s, vp), jnp.sin(angle + yp), 0.0)
+            # Written across the whole region (the reference loops to the
+            # frequency's length, which is infinite here), with the phase
+            # buffer's contents as written — zeros where the phase never
+            # produced samples (generator.rs:208-220).
+            y = jnp.where(_mask(ctx, s, e), jnp.sin(angle + yp), 0.0)
             acc = acc + jnp.maximum(e - s, 0).astype(jnp.uint32) * inc
-            return y, vp, (acc, sf, sp)
+            return y, vp, e, (acc, sf, sp)
         pd = self.cfg.phase_dtype
-        yf, vf, sf = self.freq.render(P, sf, s, e, ctx)
-        yp, vp, sp = self.phase.render(P, sp, s, vf, ctx)
+        yf, vf, wf, sf = self.freq.render(P, sf, s, e, ctx)
+        yp, vp, wp, sp = self.phase.render(P, sp, s, vf, ctx)
         inc = jnp.where(_mask(ctx, s, vf), yf, 0.0).astype(pd) / \
             pd(self.cfg.sample_rate)
         pre = _cumsum(inc, self.cfg.pallas and pd == jnp.float32) - inc
         y = jnp.sin(acc + pre + yp.astype(pd)).astype(f32)
-        y = jnp.where(_mask(ctx, s, vp), y, 0.0)
+        # Sine overwrites the frequency's buffer up to the frequency's
+        # returned length; beyond that the frequency's own overrun writes
+        # remain (shared-buffer semantics).
+        y = jnp.where(_mask(ctx, s, vf), y, yf)
         acc = jnp.mod(acc + jnp.sum(inc), pd(TAU))
-        return y, vp, (acc, sf, sp)
+        return y, vp, jnp.maximum(wf, vf), (acc, sf, sp)
 
     def advance(self, P, st, s, e, ctx):
         acc, sf, sp = st
@@ -515,9 +539,11 @@ class CFilter(Node):
             # Prime the input delay line with the first K-1 inner samples
             # (generator.rs:223-252). Uses a tiny static block.
             pctx = Ctx(K - 1)
-            y, v, inner_st = self.inner.render(P, inner_st, jnp.int32(0),
-                                               jnp.int32(K - 1), pctx)
-            delay = y
+            y, v, w, inner_st = self.inner.render(P, inner_st, jnp.int32(0),
+                                                  jnp.int32(K - 1), pctx)
+            # Only the valid prefix is kept (the reference truncates the
+            # bootstrap deque to the generated length).
+            delay = jnp.where(jnp.arange(K - 1) < v, y, 0.0)
             real = v
         hist = jnp.zeros((max(J, 1),), f32)
         return (delay, real, hist, inner_st,
@@ -529,7 +555,10 @@ class CFilter(Node):
         K, J = self.K, self.J
         idx = ctx.idx
 
-        wy, wv, si = self.inner.render(P, si, s, e, ctx)
+        wy_raw, wv, ww, si = self.inner.render(P, si, s, e, ctx)
+        # generator.rs:404-405 zero-fills beyond the inner's returned
+        # length before filtering, overwriting any of its overrun writes.
+        wy = jnp.where(_mask(ctx, s, wv), wy_raw, 0.0)
         out_end = jnp.minimum(e, wv + real)
 
         # Per-lane coefficient values (constants skip rendering entirely).
@@ -575,7 +604,9 @@ class CFilter(Node):
             dvals = delay[jnp.clip((K - 1) + lanes - s, 0, K - 2)]
             delay = jnp.where(lanes < s, dvals, wvals)
         real = jnp.clip(real + wv - out_end, 0, K - 1)
-        return y, out_end, (delay, real, hist, si, sffs, sfbs)
+        # Beyond out_end the buffer keeps the zero-fill (the filter itself
+        # wrote zeros over the inner's overruns up to e).
+        return y, out_end, e, (delay, real, hist, si, sffs, sfbs)
 
     def _coeffs(self, P, nodes, consts, states, s, out_end, ctx):
         vals = []
@@ -585,8 +616,12 @@ class CFilter(Node):
                 vals.append(jnp.broadcast_to(cexpr(P), (ctx.n,)).astype(f32))
                 new_states.append(st)
             else:
-                y, v, st = node.render(P, st, s, out_end, ctx)
-                vals.append(y)  # zero-extended when the coefficient runs out
+                y, v, w, st = node.render(P, st, s, out_end, ctx)
+                # The reference reads the raw coefficient buffer to out_len
+                # regardless of the coefficient's returned length: written-
+                # but-invalid samples (e.g. a Sine past its phase) count,
+                # unwritten ones are zero.
+                vals.append(y)
                 new_states.append(st)
         return vals, tuple(new_states)
 
@@ -686,7 +721,7 @@ class CFin(Node):
             return s + jnp.minimum(rel, maxn), lpos + maxn, sl
         # Value path: render the length waveform and find the first lane
         # with a non-negative value (or its end).
-        ly, lv, sl = self.length.render(P, sl, s, e, ctx)
+        ly, lv, lw, sl = self.length.render(P, sl, s, e, ctx)
         cond = (_mask(ctx, s, lv) & (ly >= 0.0)) | \
             ((ctx.idx >= lv) & (ctx.idx < e))
         return _first_lane(ctx, cond, e), lpos + maxn, sl
@@ -694,10 +729,10 @@ class CFin(Node):
     def render(self, P, st, s, e, ctx):
         lpos, sl, si = st
         cutoff, lpos, sl = self._cutoff_render(P, lpos, sl, s, e, ctx)
-        yi, vi, si = _gated_render(self.inner, P, si, s, cutoff, ctx)
+        yi, vi, wi, si = _gated_render(self.inner, P, si, s, cutoff, ctx)
         # Advance the inner past the truncation point (length-only).
         _, si = _gated_advance(self.inner, P, si, cutoff, e, ctx)
-        return yi, vi, (lpos, sl, si)
+        return yi, vi, wi, (lpos, sl, si)
 
     def advance(self, P, st, s, e, ctx):
         lpos, sl, si = st
@@ -708,7 +743,7 @@ class CFin(Node):
             _, sl = self.length.advance(P, sl, s, e, ctx)
             return jnp.minimum(s + jnp.minimum(rel, maxn), vi), \
                 (lpos + maxn, sl, si)
-        ly, lv, sl = self.length.render(P, sl, s, e, ctx)
+        ly, lv, lw, sl = self.length.render(P, sl, s, e, ctx)
         vi, si = self.inner.advance(P, si, s, e, ctx)
         cond = (_mask(ctx, s, lv) & (ly >= 0.0)) | \
             ((ctx.idx >= lv) & (ctx.idx < e)) | \
@@ -731,7 +766,7 @@ class CReset(Node):
 
     def render(self, P, st, s, e, ctx):
         sign, age, strg, sinn = st
-        yt, vt, strg = self.trigger.render(P, strg, s, e, ctx)
+        yt, vt, wt, strg = self.trigger.render(P, strg, s, e, ctx)
         m = _mask(ctx, s, vt)
         sg = jnp.where(jnp.signbit(yt), f32(-1.0), f32(1.0))
         prev_neg = jnp.where(ctx.idx == s, sign < 0.0,
@@ -746,14 +781,16 @@ class CReset(Node):
             last = jnp.maximum(last_f.astype(i32), base)
             local = ctx.idx - last
             yi, vi = self.inner_reloc(P, local)
-            y = jnp.where(m & vi, yi, 0.0)
+            # Lanes beyond the trigger's validity keep the trigger's raw
+            # writes (the reset reuses the trigger's buffer).
+            y = jnp.where(m, jnp.where(vi, yi, 0.0), yt)
             nonempty = vt > s
             # The running max at lane vt-1 is just a masked max reduction.
             lastN = _last_lane(ctx, edge & (ctx.idx < vt), base)
             age = jnp.where(nonempty, vt - lastN, age)
             sign = jnp.where(nonempty,
                              _value_at(ctx, sg, vt - 1, sign), sign)
-            return y, vt, (sign, age, strg, sinn)
+            return y, vt, jnp.maximum(wt, vt), (sign, age, strg, sinn)
 
         # Stateful inner. Fast path: scan over *segments* (trigger edges),
         # rendering the inner as a full block program per segment — audio-
@@ -777,12 +814,14 @@ class CReset(Node):
             # every edge segment restarts from a fresh state — identical
             # programs over different offsets, so ALL of them render in one
             # vmapped call instead of a sequential scan.
-            y0, _, st0 = inner.render(P, sinn, s, vt, nctx)
+            y0, v0, _, st0 = inner.render(P, sinn, s, vt, nctx)
+            y0 = jnp.where(_mask(nctx, s, v0), y0, 0.0)
             hi0 = jnp.minimum(starts[0], vt)
             total = jnp.where((ctx.idx >= s) & (ctx.idx < hi0), y0, 0.0)
 
             def render_at(lo):
-                y_j, _, st_out = inner.render(P, fresh, lo, vt, nctx)
+                y_j, v_j, _, st_out = inner.render(P, fresh, lo, vt, nctx)
+                y_j = jnp.where(_mask(nctx, lo, v_j), y_j, 0.0)
                 return y_j, st_out
             ys, sts = jax.vmap(render_at)(starts)  # [max_seg, N], stacked
             his = jnp.concatenate([starts[1:], jnp.atleast_1d(vt)])
@@ -804,25 +843,30 @@ class CReset(Node):
                 is_edge, active = xs
                 st_inner = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(is_edge, a, b), fresh, st_inner)
-                y1, v1, st_new = inner.render(P, st_inner, jnp.int32(0),
-                                              jnp.where(active, 1, 0), sctx)
+                y1, v1, w1, st_new = inner.render(P, st_inner, jnp.int32(0),
+                                                  jnp.where(active, 1, 0),
+                                                  sctx)
                 st_inner = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(active, a, b), st_new, st_inner)
-                return (st_inner,), jnp.where(active, y1[0], 0.0)
+                sample = jnp.where(v1 >= 1, y1[0], 0.0)
+                return (st_inner,), jnp.where(active, sample, 0.0)
 
             (st_fin,), y = jax.lax.scan(step, (sinn,), (edge, m))
             return y, st_fin
 
-        if self.cfg.jit:
-            y, sinn = jax.lax.cond(n_edges <= max_seg, segments,
-                                   per_sample, None)
-        else:  # eager mode: pick the exercised path directly
+        # Eager mode picks the exercised path directly — but only when
+        # n_edges is concrete; nested inside another Reset's vmapped
+        # segment renderer it is a tracer even with jit off.
+        if not self.cfg.jit and not isinstance(n_edges, jax.core.Tracer):
             y, sinn = (segments(None) if int(n_edges) <= max_seg
                        else per_sample(None))
-        y = jnp.where(m, y, 0.0)
+        else:
+            y, sinn = jax.lax.cond(n_edges <= max_seg, segments,
+                                   per_sample, None)
+        y = jnp.where(m, y, yt)  # trigger's raw writes beyond validity
         nonempty = vt > s
         sign = jnp.where(nonempty, _value_at(ctx, sg, vt - 1, sign), sign)
-        return y, vt, (sign, age, strg, sinn)
+        return y, vt, jnp.maximum(wt, vt), (sign, age, strg, sinn)
 
     def advance(self, P, st, s, e, ctx):
         sign, age, strg, sinn = st
@@ -849,12 +893,15 @@ class CAlt(Node):
 
     def render(self, P, st, s, e, ctx):
         stt, stp, stn = st
-        yt, vt, stt = self.trigger.render(P, stt, s, e, ctx)
-        yp, vp, stp = self.pos.render(P, stp, s, vt, ctx)
-        yn, vn, stn = self.neg.render(P, stn, s, vt, ctx)
+        yt, vt, wt, stt = self.trigger.render(P, stt, s, e, ctx)
+        yp, vp, wp, stp = self.pos.render(P, stp, s, vt, ctx)
+        yn, vn, wn, stn = self.neg.render(P, stn, s, vt, ctx)
+        # Branches are read raw to the trigger's length (fresh zeroed
+        # buffers in the reference, so overrun writes count); beyond it
+        # the trigger's own raw writes remain.
         y = jnp.where(_mask(ctx, s, vt),
-                      jnp.where(yt >= 0.0, yp, yn), 0.0)
-        return y, vt, (stt, stp, stn)
+                      jnp.where(yt >= 0.0, yp, yn), yt)
+        return y, vt, jnp.maximum(wt, vt), (stt, stp, stn)
 
     def advance(self, P, st, s, e, ctx):
         stt, stp, stn = st
@@ -878,10 +925,12 @@ class CWrap(Node):
         return self.inner.init(P)
 
     def render(self, P, st, s, e, ctx):
-        y, v, st = self.inner.render(P, st, s, e, ctx)
+        y, v, w, st = self.inner.render(P, st, s, e, ctx)
         if self.capture_stem is not None and ctx.allow_captures:
-            ctx.captures[self.capture_stem] = (y, s, v)
-        return y, v, st
+            # Captures write only the valid prefix (generator.rs:366-371).
+            ctx.captures[self.capture_stem] = (
+                jnp.where(_mask(ctx, s, v), y, 0.0), s, v)
+        return y, v, w, st
 
     def advance(self, P, st, s, e, ctx):
         return self.inner.advance(P, st, s, e, ctx)
@@ -1128,7 +1177,10 @@ class CompiledVoice:
 
     def _render_impl(self, n, P, state, s, e):
         ctx = Ctx(n)
-        y, v, state = self.root.render(P, state, s, e, ctx)
+        y, v, w, state = self.root.render(P, state, s, e, ctx)
+        # Consumers (the tracker mix, WAV writers) see only valid samples;
+        # written-but-invalid overruns are an internal buffer matter.
+        y = jnp.where(_mask(ctx, s, v), y, 0.0)
         return y, v, state, ctx.captures
 
     def render_fn(self, n: int) -> Callable:
