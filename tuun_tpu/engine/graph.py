@@ -792,78 +792,46 @@ class CReset(Node):
                              _value_at(ctx, sg, vt - 1, sign), sign)
             return y, vt, jnp.maximum(wt, vt), (sign, age, strg, sinn)
 
-        # Stateful inner. Fast path: scan over *segments* (trigger edges),
-        # rendering the inner as a full block program per segment — audio-
-        # rate resets have tens of edges per block, not thousands. The
-        # per-sample scan remains as a lax.cond fallback when a block has
-        # more edges than the segment budget, so output is always exact.
+        # Stateful inner. Every node derives its output from carried state
+        # position (never from the absolute lane index), so the *restarted*
+        # inner is a pure function of local age: rendering the inner ONCE
+        # from a fresh state over [0, n) yields the value of every post-
+        # edge lane as base[age]. That replaces the per-edge segment fan-
+        # out with a single render + gather — O(n) per block regardless of
+        # how many trigger edges the block contains (generator.rs resets
+        # by set_state(Initial) per edge; the restarted stream it then
+        # generates is identical every time, which is what we exploit).
         inner = self.inner
         fresh = inner.init(P)
-        max_seg = min(max(4, min(64, ctx.n // 4)), ctx.n)
+        nctx = Ctx(ctx.n, allow_captures=False)
         n_edges = jnp.sum(edge.astype(f32)).astype(i32)
+        any_edge = n_edges > 0
 
-        def segments(_):
-            # Lanes of the first max_seg edges, ascending (pad with vt: the
-            # inner only ever advances within the trigger's validity).
-            nctx = Ctx(ctx.n, allow_captures=False)
-            masked = jnp.where(edge, ctx.fidx, BIGF)
-            neg_topk, _ = jax.lax.top_k(-masked, max_seg)
-            starts = jnp.minimum((-neg_topk).astype(i32), vt)  # ascending
+        # Continued segment [s, first edge) from the carried state.
+        y0, v0, _, st0 = inner.render(P, sinn, s, vt, nctx)
+        y0 = jnp.where(_mask(nctx, s, v0), y0, 0.0)
 
-            # Segment 0 continues the carried state from [s, first edge);
-            # every edge segment restarts from a fresh state — identical
-            # programs over different offsets, so ALL of them render in one
-            # vmapped call instead of a sequential scan.
-            y0, v0, _, st0 = inner.render(P, sinn, s, vt, nctx)
-            y0 = jnp.where(_mask(nctx, s, v0), y0, 0.0)
-            hi0 = jnp.minimum(starts[0], vt)
-            total = jnp.where((ctx.idx >= s) & (ctx.idx < hi0), y0, 0.0)
+        # The restarted waveform over ages 0..n-1 (one render, any #edges).
+        yb, vb, _, _ = inner.render(P, fresh, jnp.int32(0),
+                                    jnp.int32(ctx.n), nctx)
+        yb = jnp.where(nctx.idx < vb, yb, 0.0)  # ran out -> zeros
 
-            def render_at(lo):
-                y_j, v_j, _, st_out = inner.render(P, fresh, lo, vt, nctx)
-                y_j = jnp.where(_mask(nctx, lo, v_j), y_j, 0.0)
-                return y_j, st_out
-            ys, sts = jax.vmap(render_at)(starts)  # [max_seg, N], stacked
-            his = jnp.concatenate([starts[1:], jnp.atleast_1d(vt)])
-            in_seg = (ctx.idx[None, :] >= starts[:, None]) & \
-                (ctx.idx[None, :] < jnp.minimum(his, vt)[:, None])
-            total = total + jnp.sum(jnp.where(in_seg, ys, 0.0), axis=0)
-
-            # Final carry: the last real segment's state (or segment 0's).
-            sel = jnp.clip(n_edges - 1, 0, max_seg - 1)
-            st_fin = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(n_edges == 0, a, b[sel]), st0, sts)
-            return total, st_fin
-
-        def per_sample(_):
-            sctx = Ctx(1, allow_captures=False)
-
-            def step(carry, xs):
-                st_inner, = carry
-                is_edge, active = xs
-                st_inner = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(is_edge, a, b), fresh, st_inner)
-                y1, v1, w1, st_new = inner.render(P, st_inner, jnp.int32(0),
-                                                  jnp.where(active, 1, 0),
-                                                  sctx)
-                st_inner = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(active, a, b), st_new, st_inner)
-                sample = jnp.where(v1 >= 1, y1[0], 0.0)
-                return (st_inner,), jnp.where(active, sample, 0.0)
-
-            (st_fin,), y = jax.lax.scan(step, (sinn,), (edge, m))
-            return y, st_fin
-
-        # Eager mode picks the exercised path directly — but only when
-        # n_edges is concrete; nested inside another Reset's vmapped
-        # segment renderer it is a tracer even with jit off.
-        if not self.cfg.jit and not isinstance(n_edges, jax.core.Tracer):
-            y, sinn = (segments(None) if int(n_edges) <= max_seg
-                       else per_sample(None))
-        else:
-            y, sinn = jax.lax.cond(n_edges <= max_seg, segments,
-                                   per_sample, None)
+        # Per-lane age since the last edge at or before the lane.
+        last_f = _running_max_f32(jnp.where(edge, ctx.fidx, -BIGF),
+                                  self.cfg.pallas)
+        restarted = last_f >= 0.0  # lane is at/after an edge in this block
+        age_i = jnp.clip(ctx.idx - last_f.astype(i32), 0, ctx.n - 1)
+        y = jnp.where(restarted, jnp.take(yb, age_i), y0)
         y = jnp.where(m, y, yt)  # trigger's raw writes beyond validity
+
+        # Carry: state after (vt - last_edge) samples from fresh — the
+        # render contract takes a dynamic end, so one bounded render gives
+        # the mid-block state exactly. No edges: the continued state.
+        lastN = _last_lane(ctx, edge & (ctx.idx < vt), s)
+        k = jnp.clip(vt - lastN, 0, ctx.n)
+        _, _, _, st_last = inner.render(P, fresh, jnp.int32(0), k, nctx)
+        sinn = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(any_edge, a, b), st_last, st0)
         nonempty = vt > s
         sign = jnp.where(nonempty, _value_at(ctx, sg, vt - 1, sign), sign)
         return y, vt, jnp.maximum(wt, vt), (sign, age, strg, sinn)
