@@ -90,6 +90,17 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
         if args.platform == "cpu" and args.precision == "exact":
             jax.config.update("jax_enable_x64", True)
+        # __main__.py applies the platform before package import; if main()
+        # was called programmatically after the backend initialized, the
+        # update above is silently ineffective — fail loudly instead.
+        backend = jax.default_backend()
+        want = {"cpu": ("cpu",), "tpu": ("tpu",)}[args.platform]
+        if backend not in want:
+            print(f"error: --platform {args.platform} requested but the "
+                  f"JAX backend is already initialized as '{backend}' "
+                  f"(invoke via `python -m tuun_tpu` so the platform is "
+                  f"applied before import)", file=sys.stderr)
+            return 2
     if args.input_file is None and args.expr is None:
         print("error: provide an input file or --expr", file=sys.stderr)
         return 2
