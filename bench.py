@@ -31,7 +31,7 @@ from tuun_tpu.expr import ESeq, EWaveform  # noqa: E402
 
 SAMPLE_RATE = 44100
 REALTIME_BASE = 48000.0
-BLOCK = 1 << 17
+GLOBAL_BLOCK = BLOCK = 1 << 17
 STDLIB = HERE / "tuun_tpu" / "stdlib" / "v0"
 
 T = ir.Time()
@@ -86,12 +86,20 @@ def workloads():
     return ws
 
 
+# Per-workload block sizes: an offline renderer picks its own block size.
+# large_440 is a single heavy voice that scales with block (2x at 512k);
+# the marks chain prefers the default (bigger blocks activate more chain
+# segments per block).
+WORKLOAD_BLOCKS = {"large_440": 1 << 19}
+
+
 def bench_one(name, w, seconds=5.0, warmup_blocks=2):
+    BLOCK = WORKLOAD_BLOCKS.get(name, GLOBAL_BLOCK)
     cfg = EngineConfig(SAMPLE_RATE, precision="fast", jit=True)
     voice = CompiledVoice(w, cfg)
     P = voice.params()
     state0 = voice.init(P)
-    fn = voice.render_fn(BLOCK)
+    fn = voice.render_fn(BLOCK, P=P)
     s = jax.numpy.int32(0)
     e = jax.numpy.int32(BLOCK)
     # Warmup/compile

@@ -296,3 +296,37 @@ def test_reset_stateful_segment_path_dense_edges():
     # Sparse edges: the segment path.
     w2 = Reset(sin_waveform(0.02, 0.0), chirp)
     diff_test(w2, 120, atol=1e-5, blocks=(64,))
+
+
+def test_reloc_fast_path_matches_interval_path():
+    """The opt-in relocatable fast path (reloc_fast=True: one pure
+    function of the absolute index, literal Fin cutoffs via lits_for)
+    must match the default interval machinery sample-for-sample,
+    including mid-block starts and Append/Fin/merge boundaries."""
+    from tuun_tpu.engine import CompiledVoice
+    w = ir.BinaryPointOp(
+        Operator.MERGE,
+        ir.Append(Fin(sub_time(3.0), sin_waveform(0.21, 0.4)),
+                  Fin(sub_time(2.0), Time())),
+        ir.BinaryPointOp(Operator.MULTIPLY, Noise(), Const(0.5)))
+    ref = oracle.render(w, 40, 1)
+    for jit in (True, False):
+        cfg = EngineConfig(1, "exact", jit=jit, reloc_fast=True)
+        voice = CompiledVoice(w, cfg)
+        assert voice.relocatable and voice.fast_default
+        P = voice.params()
+        lits = voice.lits_for(P)
+        assert all(isinstance(x, int) for x in lits) and len(lits) == 2
+        st = voice.init(P)
+        got = []
+        for _ in range(5):
+            y, v, st, _ = voice.render_block(P, st, 8)
+            got.append(np.asarray(y)[:int(v)])
+        got = np.concatenate(got)
+        np.testing.assert_allclose(got, ref[:len(got)], atol=1e-6,
+                                   err_msg=f"jit={jit}")
+        # Mid-block start: lanes before s stay zero.
+        st = voice.init(P)
+        y, v, st, _ = voice.render_block(P, st, 8, s=3, e=8)
+        assert np.all(np.asarray(y)[:3] == 0.0)
+        np.testing.assert_allclose(np.asarray(y)[3:8], ref[:5], atol=1e-6)

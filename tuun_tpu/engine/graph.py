@@ -62,6 +62,60 @@ from .pallas_ops import pallas_available, prefix_max_f32, prefix_sum_f32
 TAU = math.tau
 BIG = jnp.int32(2 ** 30)
 
+
+# Reloc stream lengths are Python ints (when concrete at trace time),
+# i32 scalars (traced), or None (= infinite; no mask emitted at all).
+# Two hard-won TPU codegen facts shape this design (measured on v5e):
+#   * per-lane int32/bool comparisons defeat Mosaic vectorization inside
+#     large fusions (~12-25x slower); f32 compares fuse cleanly;
+#   * a mask threshold that is a *traced* scalar de-vectorizes the whole
+#     fusion (~14x slower) even as f32 — only LITERAL thresholds compile
+#     to fast code.
+# Fin cutoffs are therefore fetched to the host once per (structure,
+# params) — they are fixed across thousands of blocks — and traced as
+# literals (CompiledVoice.lits_for). f32 lane indices are exact below
+# 2^24 samples (~6 min at 48kHz); beyond that a length boundary may
+# shift by one sample on the fast path (the stateful path stays exact).
+
+BIG_LIT = 2 ** 30  # Python-int infinity sentinel for literal lengths
+
+
+def _len_min(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if isinstance(a, int) and isinstance(b, int):
+        return min(a, b)
+    return jnp.minimum(a, b)
+
+
+def _len_max(a, b):
+    if a is None or b is None:
+        return None
+    if isinstance(a, int) and isinstance(b, int):
+        return max(a, b)
+    return jnp.maximum(a, b)
+
+
+def _len_add(a, b):
+    if a is None or b is None:
+        return None
+    if isinstance(a, int) and isinstance(b, int):
+        return min(a + b, BIG_LIT)
+    return jnp.minimum(a + b, BIG)
+
+
+def _len_f32(L):
+    return float(L) if isinstance(L, int) else L.astype(f32)
+
+
+def _len_mask(li, y, L):
+    """Zero y wherever li >= L (no-op for infinite L)."""
+    if L is None:
+        return y
+    return jnp.where(li.astype(f32) < _len_f32(L), y, 0.0)
+
 f32 = jnp.float32
 i32 = jnp.int32
 
@@ -73,6 +127,14 @@ class EngineConfig:
     seed: int = 0
     jit: bool = True  # False: eager execution (fast small-scale testing)
     use_pallas: Optional[bool] = None  # None: auto (fast mode on TPU)
+    # Opt-in: render relocatable voices via root.reloc (a single pure
+    # function of the absolute index) instead of the interval machinery.
+    # Measured on v5e via axon: the resulting single giant fusion
+    # compiles to ~15x SLOWER code than the regular state-threaded path
+    # (Mosaic de-vectorizes large fusions containing selects), so the
+    # interval path stays the default; the reloc path remains for
+    # experimentation and as the basis for a future Pallas evaluator.
+    reloc_fast: bool = False
 
     @property
     def phase_dtype(self):
@@ -228,7 +290,15 @@ class Node:
         """length()-style advancement: returns (valid_end, state')."""
         raise NotImplementedError
 
-    # reloc: None, or fn(P, local_idx[N]) -> (samples[N], valid[N] bool)
+    # reloc: None, or fn(P, local_idx[N], lits=None) -> (samples[N],
+    # length) for nodes that are a pure function of time-since-start.
+    # Contract: y[i] is the sample at local index li[i]; y[i] == 0
+    # wherever li[i] >= length (zero-extension built in); y[i] is
+    # unspecified for li[i] < 0 (callers select those lanes away).
+    # length is a Python int (when `lits` carries host-fetched Fin
+    # cutoffs), an i32 scalar (traced fallback), or None for infinite.
+    # Per-lane validity deliberately does NOT travel as a vector, and
+    # thresholds should be literals — see the length-algebra notes.
     reloc: Optional[Callable] = None
 
     # const_expr: None, or fn(P) -> scalar f32 (is_const semantics)
@@ -240,8 +310,8 @@ class CConst(Node):
         super().__init__(cfg)
         self.index = index
         self.const_expr = lambda P: P.consts[index]
-        self.reloc = lambda P, li: (
-            jnp.broadcast_to(P.consts[index], li.shape), li >= 0)
+        self.reloc = lambda P, li, lits=None: (
+            jnp.broadcast_to(P.consts[index], li.shape), None)
 
     def init(self, P):
         return ()
@@ -258,7 +328,7 @@ class CTime(Node):
     def __init__(self, cfg):
         super().__init__(cfg)
         sr = f32(cfg.sample_rate)
-        self.reloc = lambda P, li: (li.astype(f32) / sr, li >= 0)
+        self.reloc = lambda P, li, lits=None: (li.astype(f32) / sr, None)
 
     def init(self, P):
         return (jnp.int32(0),)
@@ -278,8 +348,8 @@ class CNoise(Node):
     def __init__(self, cfg, uid: int):
         super().__init__(cfg)
         self.uid = uid
-        self.reloc = lambda P, li: (
-            noise_jnp(P.seed, jnp.uint32(uid), jnp.maximum(li, 0)), li >= 0)
+        self.reloc = lambda P, li, lits=None: (
+            noise_jnp(P.seed, jnp.uint32(uid), jnp.maximum(li, 0)), None)
 
     def init(self, P):
         return (jnp.int32(0),)
@@ -301,12 +371,12 @@ class CFixed(Node):
         self.index = index
         self.length = length
 
-        def reloc(P, li):
-            data = P.fixeds[index]
-            safe = jnp.clip(li, 0, max(length - 1, 0))
+        def reloc(P, li, lits=None):
             if length == 0:
-                return jnp.zeros(li.shape, f32), jnp.zeros(li.shape, bool)
-            return data[safe], (li >= 0) & (li < length)
+                return jnp.zeros(li.shape, f32), 0
+            data = P.fixeds[index]
+            safe = jnp.clip(li, 0, length - 1)
+            return _len_mask(li, data[safe], length), length
         self.reloc = reloc
 
     def init(self, P):
@@ -341,16 +411,15 @@ class CAppend(Node):
     def __init__(self, cfg, a: Node, b: Node):
         super().__init__(cfg)
         self.a, self.b = a, b
-        # Relocatable iff a has a static finite length and both sides reloc.
-        if a.reloc is not None and b.reloc is not None and \
-                a.static_len is not None:
-            def reloc(P, li):
-                la = a.static_len(P)
-                ya, va = a.reloc(P, li)
-                yb, vb = b.reloc(P, li - la)
-                in_a = li < la
-                return (jnp.where(in_a, ya, yb),
-                        jnp.where(in_a, va, vb))
+        if a.reloc is not None and b.reloc is not None:
+            def reloc(P, li, lits=None):
+                ya, la = a.reloc(P, li, lits)
+                if la is None:
+                    # Infinite a: b never plays (matches the stateful path).
+                    return ya, None
+                yb, lb = b.reloc(P, li - la, lits)
+                in_a = li.astype(f32) < _len_f32(la)
+                return jnp.where(in_a, ya, yb), _len_add(la, lb)
             self.reloc = reloc
 
     def init(self, P):
@@ -389,16 +458,15 @@ class CBinary(Node):
             ca, cb = a.const_expr, b.const_expr
             self.const_expr = lambda P: _apply_op_scalar(op, ca(P), cb(P))
         if a.reloc is not None and b.reloc is not None:
-            def reloc(P, li):
-                ya, va = a.reloc(P, li)
-                yb, vb = b.reloc(P, li)
+            def reloc(P, li, lits=None):
+                ya, la = a.reloc(P, li, lits)
+                yb, lb = b.reloc(P, li, lits)
                 if op == ir.Operator.MERGE:
-                    v = va | vb
-                    y = jnp.where(va, ya, 0.0) + jnp.where(vb, yb, 0.0)
-                else:
-                    v = va & vb
-                    y = jnp.where(v, _apply_op(op, ya, yb), 0.0)
-                return y, v
+                    # Operands are zero past their own lengths by the reloc
+                    # contract, so zero-extension is a plain add.
+                    return ya + yb, _len_max(la, lb)
+                v = _len_min(la, lb)
+                return _len_mask(li, _apply_op(op, ya, yb), v), v
             self.reloc = reloc
 
     def init(self, P):
@@ -455,21 +523,20 @@ class CSine(Node):
             pd = cfg.phase_dtype
             sr = cfg.sample_rate
             if self.nco:
-                def reloc(P, li):
+                def reloc(P, li, lits=None):
                     inc = self._nco_inc(P)
-                    yp, vp = phase.reloc(P, li)
+                    yp, lp = phase.reloc(P, li, lits)
                     ph = li.astype(jnp.uint32) * inc
                     angle = (ph >> jnp.uint32(8)).astype(f32) * \
                         f32(self.NCO_TO_RAD)
-                    y = jnp.sin(angle + yp)
-                    return jnp.where(vp, y, 0.0), vp
+                    return _len_mask(li, jnp.sin(angle + yp), lp), lp
             else:
-                def reloc(P, li):
+                def reloc(P, li, lits=None):
                     inc = freq.const_expr(P).astype(pd) / pd(sr)
-                    yp, vp = phase.reloc(P, li)
+                    yp, lp = phase.reloc(P, li, lits)
                     acc = jnp.mod(li.astype(pd) * inc, pd(TAU))
                     y = jnp.sin(acc + yp.astype(pd)).astype(f32)
-                    return jnp.where(vp, y, 0.0), vp
+                    return _len_mask(li, y, lp), lp
             self.reloc = reloc
 
     def _nco_inc(self, P):
@@ -691,6 +758,8 @@ def _pad_hist(h, J):
 
 
 class CFin(Node):
+    fin_slot: Optional[int] = None  # index into host-fetched cutoff lits
+
     def __init__(self, cfg, length: Node, inner: Node,
                  ge0: Optional[Callable]):
         super().__init__(cfg)
@@ -698,11 +767,14 @@ class CFin(Node):
         self.inner = inner
         self.ge0 = ge0  # fn(P, lpos, maxn) -> rel cutoff in [0, maxn]
         if ge0 is not None and inner.reloc is not None:
-            def reloc(P, li):
-                rel = ge0(P, jnp.int32(0), BIG)
-                yi, vi = inner.reloc(P, li)
-                v = vi & (li < rel)
-                return jnp.where(v, yi, 0.0), v
+            def reloc(P, li, lits=None):
+                # Host-fetched literal cutoff when available: a traced
+                # mask threshold de-vectorizes the enclosing fusion.
+                rel = lits[self.fin_slot] if lits is not None \
+                    else ge0(P, jnp.int32(0), BIG)
+                yi, lin = inner.reloc(P, li, lits)
+                v = _len_min(lin, rel)
+                return _len_mask(li, yi, v), v
             self.reloc = reloc
             self.static_len = lambda P: jnp.minimum(
                 ge0(P, jnp.int32(0), BIG),
@@ -780,10 +852,11 @@ class CReset(Node):
                 jnp.where(edge, ctx.fidx, -BIGF), self.cfg.pallas)
             last = jnp.maximum(last_f.astype(i32), base)
             local = ctx.idx - last
-            yi, vi = self.inner_reloc(P, local)
+            yi, _ = self.inner_reloc(P, local)
+            # yi is zero past the inner's length by the reloc contract.
             # Lanes beyond the trigger's validity keep the trigger's raw
             # writes (the reset reuses the trigger's buffer).
-            y = jnp.where(m, jnp.where(vi, yi, 0.0), yt)
+            y = jnp.where(m, yi, yt)
             nonempty = vt > s
             # The running max at lane vt-1 is just a masked max reduction.
             lastN = _last_lane(ctx, edge & (ctx.idx < vt), base)
@@ -847,13 +920,12 @@ class CAlt(Node):
         super().__init__(cfg)
         self.trigger, self.pos, self.neg = trigger, pos, neg
         if all(n.reloc is not None for n in (trigger, pos, neg)):
-            def reloc(P, li):
-                yt, vt = trigger.reloc(P, li)
-                yp, vp = pos.reloc(P, li)
-                yn, vn = neg.reloc(P, li)
-                y = jnp.where(yt >= 0.0, jnp.where(vp, yp, 0.0),
-                              jnp.where(vn, yn, 0.0))
-                return jnp.where(vt, y, 0.0), vt
+            def reloc(P, li, lits=None):
+                yt, lt = trigger.reloc(P, li, lits)
+                yp, _ = pos.reloc(P, li, lits)
+                yn, _ = neg.reloc(P, li, lits)
+                # Branches are already zero past their own lengths.
+                return _len_mask(li, jnp.where(yt >= 0.0, yp, yn), lt), lt
             self.reloc = reloc
 
     def init(self, P):
@@ -944,6 +1016,10 @@ class Compiler:
         self.uid = 0
         self.marks: List[Tuple[Any, Tuple[int, ...]]] = []  # (id, path)
         self.captures: List[str] = []
+        # CFin nodes with symbolic cutoffs, in slot order: their cutoffs
+        # are fetched to the host once per (structure, params) and traced
+        # as literal mask thresholds (see the length-algebra notes above).
+        self.fins: List["CFin"] = []
 
     def _const_index(self, value: float) -> int:
         self.const_values.append(np.float32(value))
@@ -974,7 +1050,11 @@ class Compiler:
             length = self.compile(w.length, path + (0,))
             inner = self.compile(w.waveform, path + (1,))
             ge0 = self._ge0_static(w.length, length)
-            return CFin(cfg, length, inner, ge0)
+            node = CFin(cfg, length, inner, ge0)
+            if ge0 is not None and node.reloc is not None:
+                node.fin_slot = len(self.fins)
+                self.fins.append(node)
+            return node
         if isinstance(w, ir.Append):
             return CAppend(cfg, self.compile(w.a, path + (0,)),
                            self.compile(w.b, path + (1,)))
@@ -1109,13 +1189,48 @@ class CompiledVoice:
         compiler = Compiler(cfg)
         self.root = compiler.compile(w)
         self.capture_stems = compiler.captures
+        # A relocatable root is a pure function of the absolute sample
+        # index: whole-voice rendering skips state threading, per-node
+        # interval bookkeeping, and gating entirely (common for note
+        # sequences built from NCO sines, envelopes, and appends).
+        self.relocatable = (self.root.reloc is not None
+                            and not compiler.captures)
+        # Default path for new voices: reloc only when the config opts in.
+        self.fast_default = self.relocatable and cfg.reloc_fast
         self._base_consts = np.asarray(compiler.const_values, np.float32) \
             if compiler.const_values else np.zeros((0,), np.float32)
         self._base_fixeds = tuple(compiler.fixed_values)
-        self._render_jit: Dict[int, Callable] = {}
+        self._render_jit: Dict[Any, Callable] = {}
         self._arg_cache: Dict[Tuple, Tuple] = {}
         self._init_jit = jax.jit(self._init_impl) if cfg.jit \
             else self._init_impl
+        # Fin cutoffs for the fast path, fetched once per params and
+        # traced as literal mask thresholds (traced thresholds de-
+        # vectorize the whole fusion — see the length-algebra notes).
+        self._fins = compiler.fins
+        self._lens_fn = None
+        if self.relocatable and self._fins:
+            def lens(P):
+                return jnp.stack([f.ge0(P, jnp.int32(0), BIG)
+                                  for f in self._fins])
+            self._lens_fn = jax.jit(lens) if cfg.jit else lens
+        self._lits_cache: Dict[int, Tuple[int, ...]] = {}
+
+    def lits_for(self, P) -> Optional[Tuple[int, ...]]:
+        """Host-concretized Fin cutoffs for this parameter set (one device
+        fetch on first use per P; None when the structure has no symbolic
+        fins). Lengths are fixed across a voice's lifetime, so the fetch
+        amortizes over every subsequent block."""
+        if self._lens_fn is None:
+            return ()
+        key = id(P)
+        lits = self._lits_cache.get(key)
+        if lits is None:
+            vals = np.asarray(jax.device_get(self._lens_fn(P)))
+            lits = tuple(int(x) for x in vals)
+            if len(self._lits_cache) < 256:
+                self._lits_cache[key] = lits
+        return lits
 
     # -- params ---------------------------------------------------------
 
@@ -1136,31 +1251,97 @@ class CompiledVoice:
     # -- state ----------------------------------------------------------
 
     def _init_impl(self, P):
-        return self.root.init(P)
+        # Voice state = (stream position, per-node state tree). The
+        # position counts samples consumed so far; the relocatable fast
+        # path renders from it alone, leaving the node tree at init.
+        return (jnp.int32(0), self.root.init(P))
 
     def init(self, P: Params):
         return self._init_jit(P)
 
+    def state_at(self, P, pos: int, n: int = 8192):
+        """Reconstructs the per-node state tree at stream position `pos`
+        by advancing from init (used when a Modify splices a stateful
+        subtree into a voice that has been running on the relocatable
+        fast path, whose node tree is never advanced)."""
+        fn = self._render_jit.get(("replay", n))
+        if fn is None:
+            def replay(P, st, e):
+                # Full render, output discarded: advance() deliberately
+                # leaves phase/sample state untouched (it mirrors the
+                # reference's length() lookahead), so reconstruction must
+                # replay real render steps.
+                ctx = Ctx(n, allow_captures=False)
+                _, _, _, st = self.root.render(P, st, jnp.int32(0), e, ctx)
+                return st
+            fn = jax.jit(replay) if self.cfg.jit else replay
+            self._render_jit[("replay", n)] = fn
+        st = self.root.init(P)
+        full = jnp.int32(n)
+        done = 0
+        while done < pos:
+            k = min(n, pos - done)
+            st = fn(P, st, full if k == n else jnp.int32(k))
+            done += k
+        return st
+
     # -- rendering ------------------------------------------------------
 
-    def _render_impl(self, n, P, state, s, e):
+    def _render_impl(self, n, fast, lits, P, state, s, e):
         ctx = Ctx(n)
-        y, v, w, state = self.root.render(P, state, s, e, ctx)
+        pos, rst = state
+        adv = jnp.maximum(e - s, 0)
+        if fast:
+            # Pure function of the absolute sample index: no state
+            # threading, no per-node interval bookkeeping, and the stream
+            # length is a trace-time literal — the valid end is plain
+            # scalar arithmetic, no cross-lane reduction.
+            y, L = self.root.reloc(P, pos + ctx.idx - s, lits)
+            if isinstance(L, int):
+                L = jnp.int32(min(L, BIG_LIT))
+            v = e if L is None else jnp.clip(s + L - pos, s, e)
+            y = jnp.where(_mask(ctx, s, v), y, 0.0)
+            return y, v, (pos + adv, rst), ctx.captures
+        y, v, w, rst = self.root.render(P, rst, s, e, ctx)
         # Consumers (the tracker mix, WAV writers) see only valid samples;
         # written-but-invalid overruns are an internal buffer matter.
         y = jnp.where(_mask(ctx, s, v), y, 0.0)
-        return y, v, state, ctx.captures
+        return y, v, (pos + adv, rst), ctx.captures
 
-    def render_fn(self, n: int) -> Callable:
-        fn = self._render_jit.get(n)
+    def _resolve_fast(self, fast, P, lits):
+        """(fast, lits) normalization: the fast path needs host-fetched
+        Fin cutoffs; fetch them from P when the caller didn't supply any."""
+        if fast is None:
+            fast = self.fast_default
+        fast = bool(fast) and self.relocatable
+        if not fast:
+            return False, None
+        if lits is None and P is not None:
+            lits = self.lits_for(P)
+        return True, lits  # lits None: traced-cutoff fallback (correct,
+        # slower — callers that can should pass P for literal thresholds)
+
+    def render_fn(self, n: int, fast: Optional[bool] = None,
+                  lits: Optional[Tuple[int, ...]] = None,
+                  P=None) -> Callable:
+        """fast=None uses the relocatable fast path whenever the structure
+        allows it. A voice that has received a mid-stream Modify splice is
+        no longer a pure function of the absolute index and must pass
+        fast=False from then on. Distinct `lits` (Fin cutoffs) compile
+        distinct executables — they are literal mask thresholds."""
+        fast, lits = self._resolve_fast(fast, P, lits)
+        key = (n, fast, lits)
+        fn = self._render_jit.get(key)
         if fn is None:
-            fn = partial(self._render_impl, n)
+            fn = partial(self._render_impl, n, fast, lits)
             if self.cfg.jit:
                 fn = jax.jit(fn)
-            self._render_jit[n] = fn
+            self._render_jit[key] = fn
         return fn
 
-    def render_block(self, P, state, n: int, s=0, e=None):
+    def render_block(self, P, state, n: int, s=0, e=None,
+                     fast: Optional[bool] = None,
+                     lits: Optional[Tuple[int, ...]] = None):
         if e is None:
             e = n
         # Cache device scalars for the common full-block call: fresh host
@@ -1172,18 +1353,27 @@ class CompiledVoice:
             cached = (jnp.int32(s), jnp.int32(e))
             if len(self._arg_cache) < 64:
                 self._arg_cache[key] = cached
-        return self.render_fn(n)(P, state, *cached)
+        return self.render_fn(n, fast, lits, P)(P, state, *cached)
 
-    def batched_render_fn(self, n: int) -> Callable:
+    def batched_render_fn(self, n: int, fast: Optional[bool] = None,
+                          lits: Optional[Tuple[int, ...]] = None
+                          ) -> Callable:
         """vmapped render over a leading voice axis with the mix summed
         inside the jitted program: one dispatch per block for a whole
-        polyphonic voice group."""
-        key = ("batched", n)
+        polyphonic voice group. Fast groups must share `lits` (the
+        tracker groups by them)."""
+        if fast is None:
+            fast = self.fast_default
+        fast = bool(fast) and self.relocatable
+        if fast and lits is None:
+            fast = self._lens_fn is None  # no symbolic fins: lits = ()
+            lits = () if fast else None
+        key = ("batched", n, fast, lits)
         fn = self._render_jit.get(key)
         if fn is None:
             def batched(bp, bs, starts, e):
                 y, v, st, caps = jax.vmap(
-                    partial(self._render_impl, n),
+                    partial(self._render_impl, n, fast, lits),
                     in_axes=(0, 0, 0, None))(bp, bs, starts, e)
                 return jnp.sum(y, axis=0), v, st, caps
             fn = jax.jit(batched) if self.cfg.jit else batched

@@ -199,6 +199,12 @@ class Voice:
     marks: List[Mark]
     captures: Dict[str, List[np.ndarray]] = field(default_factory=dict)
     finished: bool = False
+    # Voice renders via the relocatable fast path while its output is a
+    # pure function of the absolute sample index; any Modify splice
+    # (subtree starting mid-stream) drops it to the stateful path.
+    fast: bool = False
+    # Host-fetched Fin cutoffs (literal mask thresholds) for the fast path.
+    lits: Optional[tuple] = None
     # Deferred-sync queues: (valid_end, e) device scalars and capture dicts
     # awaiting resolution at the next sync point.
     _pending_v: List = field(default_factory=list)
@@ -228,6 +234,8 @@ class VoiceGroup:
         import jax.numpy as jnp
         self.compiled = compiled
         self.voices = voices
+        self.fast = all(v.fast for v in voices)
+        self.lits = voices[0].lits if self.fast else None
         self._pending: List = []  # (valid_end[B], caps) per deferred block
         self.bparams = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *[v.params for v in voices])
@@ -236,7 +244,8 @@ class VoiceGroup:
 
     def render(self, n: int, starts, e):
         import jax.numpy as jnp
-        fn = self.compiled.batched_render_fn(n)
+        fn = self.compiled.batched_render_fn(n, fast=self.fast,
+                                             lits=self.lits)
         # Cache device-resident argument buffers: a fresh host scalar per
         # block costs a host->device transfer, which on a high-latency
         # link dominates the whole dispatch.
@@ -309,10 +318,20 @@ class Tracker:
                 new_w = ir.substitute(voice.waveform, mark_id, new_waveform)
                 compiled = self.cache.get(new_w, self.cfg)
                 params = compiled.params_for(new_w, seed=int(voice.params.seed))
-                fresh = compiled.init(params)
-                voice.state = carry_state(voice.waveform, new_w,
-                                          voice.state, fresh,
-                                          replaced_mark=mark_id)
+                old_pos, old_rst = voice.state
+                if voice.fast:
+                    # The fast path never advances the node tree; rebuild
+                    # it at the current position before carrying it onto
+                    # the modified tree. A spliced subtree starts fresh
+                    # mid-stream, so the voice is no longer a pure
+                    # function of the absolute index: stateful from here.
+                    old_rst = voice.compiled.state_at(
+                        voice.params, int(old_pos), self.block_size)
+                    voice.fast = False
+                _, fresh_rst = compiled.init(params)
+                voice.state = (old_pos, carry_state(
+                    voice.waveform, new_w, old_rst, fresh_rst,
+                    replaced_mark=mark_id))
                 voice.waveform = new_w
                 voice.compiled = compiled
                 voice.params = params
@@ -345,7 +364,9 @@ class Tracker:
         params = compiled.params_for(p.waveform, seed=self._seed_counter)
         state = compiled.init(params)
         voice = Voice(p.id, p.waveform, compiled, params, state, p.start,
-                      list(p.marks))
+                      list(p.marks), fast=compiled.fast_default,
+                      lits=(compiled.lits_for(params)
+                            if compiled.fast_default else None))
         delta = block_start - p.start
         if delta > 0:
             # Late start: catch up by rendering and discarding
@@ -366,7 +387,8 @@ class Tracker:
         finish knowledge)."""
         n = self.block_size
         y, v, state, caps = voice.compiled.render_block(
-            voice.params, voice.state, n, s, e)
+            voice.params, voice.state, n, s, e, fast=voice.fast,
+            lits=voice.lits)
         voice.state = state
         if defer:
             voice._pending_v.append((v, e))
@@ -547,9 +569,11 @@ class Tracker:
     def _rebuild_groups(self) -> None:
         """Regroups active voices by compiled structure: groups of >= 2
         render as one vmapped call; singletons keep the plain path."""
-        by_compiled: Dict[int, List[Voice]] = {}
+        by_compiled: Dict[Tuple, List[Voice]] = {}
         for voice in self.active:
-            by_compiled.setdefault(id(voice.compiled), []).append(voice)
+            by_compiled.setdefault(
+                (id(voice.compiled), voice.fast, voice.lits),
+                []).append(voice)
         self._groups = []
         self._singles = []
         for voices in by_compiled.values():
