@@ -135,3 +135,34 @@ def test_fuzz_native_vs_oracle(seed):
     mask = np.isfinite(ref)
     np.testing.assert_allclose(got[mask], ref[mask], atol=1e-5, rtol=1e-4,
                                err_msg=f"seed={seed}\n{w}")
+
+
+@pytest.mark.parametrize("seed", range(56, 72))
+def test_fuzz_reloc_fast_path_vs_oracle(seed):
+    """The opt-in relocatable fast path (reloc_fast=True) against the
+    oracle, over random trees that happen to be relocatable."""
+    from tuun_tpu.engine.graph import CompiledVoice, EngineConfig
+    rng = random.Random(seed)
+    w = random_waveform(rng, depth=3)
+    ref = oracle.render(w, 24, SR, seed=seed)
+    if not np.all(np.isfinite(ref)):
+        pytest.skip("unstable filter / inf samples")
+    if ill_conditioned(w, 24, seed):
+        pytest.skip("ill-conditioned")
+    cfg = EngineConfig(SR, "exact", seed=seed, jit=False, reloc_fast=True)
+    cv = CompiledVoice(w, cfg)
+    if not cv.relocatable:
+        pytest.skip("tree not relocatable")
+    P = cv.params(seed)
+    st = cv.init(P)
+    out = []
+    for _ in range(4):
+        y, v, st, _ = cv.render_block(P, st, 8)
+        out.append(np.asarray(y)[:int(v)])
+        if int(v) < 8:
+            break
+    got = np.concatenate(out) if out else np.zeros(0, np.float32)
+    ref_b = oracle.render(w, len(got), SR, seed=seed, block=8)
+    n = min(len(got), len(ref_b))
+    np.testing.assert_allclose(got[:n], ref_b[:n], atol=2e-4, rtol=1e-3,
+                               err_msg=f"seed={seed}\n{w}")
