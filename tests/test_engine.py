@@ -33,7 +33,20 @@ def sin_waveform(freq_hz, phase):
 
 def diff_test(w, n, sr=1, atol=1e-6, blocks=(7, 16, 64), optimize=True,
               seed=0, jit=False):
+    """The reference's run_tests pattern (generator.rs:1284-1351): the
+    same samples must come out of the original form, the optimized form,
+    and the precomputed form, at several block sizes."""
     forms = [w, optimizer.optimize(w)] if optimize else [w]
+    if optimize and not any(isinstance(x, ir.Noise) for x in w.walk()):
+        # Precompute bakes finite subtrees to Fixed; noise-bearing trees
+        # bake with the precomputer's own stream ids, so (like the
+        # reference, whose noise is never reproducible) they're skipped.
+        from tuun_tpu.engine.precompute import EnginePrecomputer
+        pc = EnginePrecomputer(
+            sr, seed=seed,
+            cfg=EngineConfig(sr, "exact", jit=False)).precompute(
+            optimizer.optimize(w))
+        forms.append(pc)
     ref = oracle.render(w, n, sr, seed=seed)
     for form in forms:
         for b in blocks:
