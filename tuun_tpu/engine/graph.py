@@ -500,6 +500,15 @@ class CBinary(Node):
         return v, (sa, sb)
 
 
+def _nco_angle(ph):
+    """uint32 phase (turns scaled 2^32) -> f32 radians. The top 24 bits
+    fit f32 exactly; bitcast-to-i32 instead of a u32->f32 convert so the
+    same formula compiles inside Mosaic (Pallas) kernels, which reject
+    unsigned<->float casts."""
+    top = jax.lax.bitcast_convert_type(ph >> jnp.uint32(8), jnp.int32)
+    return top.astype(f32) * f32(CSine.NCO_TO_RAD)
+
+
 class CSine(Node):
     """DDS oscillator.
 
@@ -527,8 +536,7 @@ class CSine(Node):
                     inc = self._nco_inc(P)
                     yp, lp = phase.reloc(P, li, lits)
                     ph = li.astype(jnp.uint32) * inc
-                    angle = (ph >> jnp.uint32(8)).astype(f32) * \
-                        f32(self.NCO_TO_RAD)
+                    angle = _nco_angle(ph)
                     return _len_mask(li, jnp.sin(angle + yp), lp), lp
             else:
                 def reloc(P, li, lits=None):
@@ -557,7 +565,7 @@ class CSine(Node):
             inc = self._nco_inc(P)
             local = (ctx.idx - s).astype(jnp.uint32)
             ph = acc + local * inc
-            angle = (ph >> jnp.uint32(8)).astype(f32) * f32(self.NCO_TO_RAD)
+            angle = _nco_angle(ph)
             # Written across the whole region (the reference loops to the
             # frequency's length, which is infinite here), with the phase
             # buffer's contents as written — zeros where the phase never
