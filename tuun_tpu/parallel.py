@@ -1,0 +1,120 @@
+"""Multi-chip voice rendering over a jax.sharding.Mesh.
+
+The reference has no distributed execution (SURVEY §2: its only
+concurrency is 4 OS threads and additive per-voice mixing inside one
+audio callback, tracker.rs:597-637). The TPU-native scaling story is the
+voice axis: same-structure voices stack their parameter/state pytrees,
+render as one vmapped program, and shard across a device mesh — the mix
+reduction over the voice axis becomes a psum over ICI. Block lanes can
+shard as a second ("time") axis for very large blocks.
+
+`render_voices_meshed` is the user-facing API; `__graft_entry__.
+dryrun_multichip` drives it on a virtual mesh for validation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import ir
+from .engine.graph import CompiledVoice, EngineConfig
+
+
+def default_mesh(n_devices: Optional[int] = None):
+    """A (voice, time) mesh over the available devices: voices are the
+    data-parallel axis; a second axis of 2 covers lane sharding when the
+    device count allows."""
+    import jax
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    if n_devices is not None and len(devices) < n_devices:
+        devices = jax.devices("cpu")
+    n = n_devices or len(devices)
+    devices = np.array(devices[:n])
+    if n >= 4 and n % 2 == 0:
+        return Mesh(devices.reshape(n // 2, 2), ("voice", "time"))
+    return Mesh(devices.reshape(n, 1), ("voice", "time"))
+
+
+def render_voices_meshed(waveforms: Sequence[ir.Waveform], n_samples: int,
+                         sample_rate: int, *, mesh=None,
+                         precision: str = "fast", block: int = 8192,
+                         seed: int = 0) -> np.ndarray:
+    """Renders a batch of same-structure voices data-parallel over a
+    device mesh and returns the mixed output (valid prefix).
+
+    All waveforms must share a compiled structure (same shape, different
+    Const values) — the tracker's VoiceGroup condition; use one call per
+    structure group otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from .engine.graph import structure_key
+
+    assert waveforms, "empty voice batch"
+    keys = {structure_key(w) for w in waveforms}
+    assert len(keys) == 1, "render_voices_meshed needs same-structure voices"
+    if mesh is None:
+        mesh = default_mesh()
+
+    # Pallas kernels don't partition under mesh sharding; the XLA scan
+    # fallbacks do.
+    cfg = EngineConfig(sample_rate, precision=precision, jit=True,
+                       use_pallas=False)
+    voice = CompiledVoice(waveforms[0], cfg)
+    params = [voice.params_for(w, seed=seed + i)
+              for i, w in enumerate(waveforms)]
+    # Pad the voice axis to a multiple of the mesh's voice-axis size
+    # (sharding needs even splits); padded voices render silence by
+    # zeroing their params' amplitude is NOT generally possible, so pad
+    # by repeating voice 0 and masking its contribution out of the mix.
+    vsize = mesh.shape["voice"]
+    V = len(params)
+    pad = (-V) % vsize
+    weights = jnp.asarray([1.0] * V + [0.0] * pad, jnp.float32)
+    params = params + [params[0]] * pad
+    bp = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params)
+    bs = jax.vmap(voice._init_impl)(bp)
+
+    from jax.sharding import NamedSharding, PartitionSpec
+    vspec = PartitionSpec("voice")
+
+    def shard(tree):
+        sh = jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, vspec), tree)
+        return jax.device_put(tree, sh), sh
+
+    bp, psh = shard(bp)
+    bs, ssh = shard(bs)
+    wsh = NamedSharding(mesh, vspec)
+    weights = jax.device_put(weights, wsh)
+
+    def step(bp, bs, wts, s, e):
+        render = partial(voice._render_impl, block, False, None)
+        y, v, bs2, _ = jax.vmap(render, in_axes=(0, 0, None, None))(
+            bp, bs, s, e)
+        y = jax.lax.with_sharding_constraint(
+            y, NamedSharding(mesh, PartitionSpec("voice", "time")))
+        mix = jnp.sum(y * wts[:, None], axis=0)
+        return mix, jnp.max(v), bs2
+
+    jstep = jax.jit(step, in_shardings=(psh, ssh, wsh, None, None),
+                    out_shardings=(NamedSharding(mesh, PartitionSpec("time")),
+                                   None, ssh))
+    out: List[np.ndarray] = []
+    total = 0
+    s = jnp.int32(0)
+    while total < n_samples:
+        m = min(block, n_samples - total)
+        mix, vmax, bs = jstep(bp, bs, weights, s, jnp.int32(m))
+        v = int(vmax)
+        out.append(np.asarray(mix[:v], np.float32))
+        total += v
+        if v < m:
+            break
+    return np.concatenate(out)[:n_samples] if out else \
+        np.zeros(0, np.float32)
