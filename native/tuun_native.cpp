@@ -14,6 +14,7 @@
 //   data:   float32[]    (Fixed payload pool)
 // See tuun_tpu/native.py for the encoder.  C ABI via ctypes.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -509,6 +510,95 @@ std::unique_ptr<Node> build(const int32_t* nodes, int64_t n_nodes,
   return node;
 }
 
+// ---------------------------------------------------------------------------
+// Native tracker: a host-side multi-voice mixer/scheduler over Engine
+// voices — the runtime analogue of tracker.rs's audio callback (promote
+// pending voices at their start sample, catch up late starts by
+// generating-and-discarding, additively mix, retire finished voices).
+// The TPU tracker (tuun_tpu/tracker.py) is the production path; this is
+// the fast native CPU fallback and the host-side reference for it.
+// ---------------------------------------------------------------------------
+
+struct TrackerVoice {
+  std::unique_ptr<Engine> engine;
+  int64_t start = 0;     // absolute sample index of the voice's first sample
+  int64_t caught_up = 0; // samples consumed (for late-start catch-up)
+  bool finished = false;
+  int64_t id = 0;
+};
+
+struct Tracker {
+  int32_t sample_rate = 44100;
+  int64_t now = 0;       // next absolute sample to render
+  int64_t next_id = 0;
+  std::vector<std::unique_ptr<TrackerVoice>> voices;
+  std::vector<float> scratch;
+
+  int64_t play(std::unique_ptr<Engine> engine, int64_t start) {
+    auto v = std::make_unique<TrackerVoice>();
+    v->engine = std::move(engine);
+    v->start = start < 0 ? now : start;
+    v->id = next_id++;
+    voices.push_back(std::move(v));
+    return voices.back()->id;
+  }
+
+  // Renders [now, now + count) into out (which is zero-filled here),
+  // mixing every scheduled voice; returns the number of voices still
+  // active after the block.
+  int64_t render(float* out, int64_t count) {
+    std::fill(out, out + count, 0.0f);
+    const int64_t block_start = now;
+    const int64_t block_end = now + count;
+    for (auto& v : voices) {
+      if (v->finished || v->start >= block_end) continue;
+      // Late start (voice scheduled before this block, e.g. a command
+      // that arrived behind the clock): generate-and-discard the missed
+      // span so the voice's internal time stays aligned
+      // (tracker.rs:514-537).
+      int64_t missed = block_start - (v->start + v->caught_up);
+      while (missed > 0) {
+        int64_t m = std::min<int64_t>(missed, 4096);
+        if ((int64_t)scratch.size() < m) scratch.resize(m);
+        int64_t got = v->engine->generate(v->engine->root.get(),
+                                          scratch.data(), m);
+        v->caught_up += got;
+        missed -= got;
+        if (got < m) { v->finished = true; break; }
+      }
+      if (v->finished) continue;
+      // The voice's segment within this block (mid-block starts are just
+      // offsets — no buffer segmentation needed with per-voice engines).
+      int64_t offset = std::max<int64_t>(v->start - block_start, 0);
+      int64_t want = count - offset;
+      if (want <= 0) continue;
+      if ((int64_t)scratch.size() < want) scratch.resize(want);
+      int64_t got = v->engine->generate(v->engine->root.get(),
+                                        scratch.data(), want);
+      for (int64_t i = 0; i < got; i++) out[offset + i] += scratch[i];
+      v->caught_up += got;
+      if (got < want) v->finished = true;
+    }
+    now = block_end;
+    int64_t active = 0;
+    for (auto& v : voices)
+      if (!v->finished) active++;
+    // Retire finished voices.
+    voices.erase(std::remove_if(voices.begin(), voices.end(),
+                                [](const std::unique_ptr<TrackerVoice>& v) {
+                                  return v->finished;
+                                }),
+                 voices.end());
+    return active;
+  }
+
+  bool stop(int64_t id) {
+    for (auto& v : voices)
+      if (v->id == id) { v->finished = true; return true; }
+    return false;
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -544,6 +634,49 @@ void tn_reset(void* handle) {
 
 void tn_destroy(void* handle) {
   delete static_cast<Engine*>(handle);
+}
+
+// --- tracker ABI -----------------------------------------------------------
+
+void* tnt_create(int32_t sample_rate) {
+  auto t = std::make_unique<Tracker>();
+  t->sample_rate = sample_rate;
+  return t.release();
+}
+
+// Schedules a voice (same flat pre-order encoding as tn_create) to start
+// at absolute sample `start` (-1 = now). Returns the voice id, or -1 on a
+// malformed program.
+int64_t tnt_play(void* handle, const int32_t* nodes, int64_t n_nodes,
+                 const float* consts, int64_t n_consts, const float* data,
+                 int64_t n_data, int64_t start, uint32_t seed) {
+  auto* t = static_cast<Tracker*>(handle);
+  auto engine = std::make_unique<Engine>();
+  engine->sample_rate = t->sample_rate;
+  engine->seed = seed;
+  engine->consts.assign(consts, consts + n_consts);
+  engine->data.assign(data, data + n_data);
+  int64_t cursor = 0;
+  int32_t uid = 0;
+  engine->root = build(nodes, n_nodes, &cursor, &uid);
+  if (!engine->root || cursor != n_nodes) return -1;
+  return t->play(std::move(engine), start);
+}
+
+int64_t tnt_render(void* handle, float* out, int64_t count) {
+  return static_cast<Tracker*>(handle)->render(out, count);
+}
+
+int32_t tnt_stop(void* handle, int64_t voice_id) {
+  return static_cast<Tracker*>(handle)->stop(voice_id) ? 1 : 0;
+}
+
+int64_t tnt_now(void* handle) {
+  return static_cast<Tracker*>(handle)->now;
+}
+
+void tnt_destroy(void* handle) {
+  delete static_cast<Tracker*>(handle);
 }
 
 }  // extern "C"

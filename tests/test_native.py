@@ -113,3 +113,73 @@ def test_native_length():
     o.reset()
     out = np.zeros(10, np.float32)
     assert o.generate(out) == 6
+
+
+def test_native_tracker_multi_voice_schedule():
+    """The native C++ tracker (mixer/scheduler) against the Python
+    tracker on a staggered multi-voice schedule: same voices, same start
+    offsets (mid-block and late starts), same mixed output."""
+    from tuun_tpu import native
+    if not native.native_available():
+        pytest.skip("no native toolchain")
+    from tuun_tpu.tracker import Tracker
+
+    sr = 100
+    def fin_note(freq, dur):
+        return ir.Fin(
+            ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(),
+                             ir.Const(dur)),
+            ir.Sine(ir.Const(freq), ir.Const(0.0)))
+
+    voices = [(fin_note(3.0, 0.8), 0),     # starts at block boundary
+              (fin_note(5.0, 0.5), 24),    # mid-block start
+              (fin_note(7.5, 0.3), 7)]     # mid-first-block start
+
+    nt = native.NativeTracker(sr)
+    for i, (w, start) in enumerate(voices):
+        nt.play(w, start=start, seed=i + 1)
+    got = nt.run_to_completion(block=16)
+
+    t = Tracker(sr, 16, precision="exact", jit=False, seed=0)
+    for i, (w, start) in enumerate(voices):
+        t.play(f"v{i}", w, start=start)
+    ref = t.run_to_completion(max_seconds=3)
+
+    n = min(len(got), len(ref))
+    assert n >= 80
+    np.testing.assert_allclose(got[:n], ref[:n], atol=1e-5, rtol=1e-4)
+    # both sides silent beyond the min length
+    assert np.all(np.abs(got[n:]) < 1e-6)
+    assert np.all(np.abs(ref[n:]) < 1e-6)
+
+
+def test_native_tracker_late_start_catches_up():
+    """A voice scheduled in the past skips the missed span (the reference
+    generates-and-discards, tracker.rs:514-537)."""
+    from tuun_tpu import native
+    if not native.native_available():
+        pytest.skip("no native toolchain")
+    sr = 100
+    ramp = ir.Fin(
+        ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(), ir.Const(1.0)),
+        ir.Time())
+    nt = native.NativeTracker(sr)
+    out1, _ = nt.render(50)       # advance the clock to sample 50
+    nt.play(ramp, start=20)       # late: 30 samples behind
+    out2, _ = nt.render(50)
+    # the voice's local time at sample 50 is 30 samples = 0.30s
+    np.testing.assert_allclose(out2[:10], 0.30 + np.arange(10) / sr,
+                               atol=1e-6)
+
+
+def test_native_tracker_stop():
+    from tuun_tpu import native
+    if not native.native_available():
+        pytest.skip("no native toolchain")
+    nt = native.NativeTracker(100)
+    vid = nt.play(ir.Const(1.0))
+    out, active = nt.render(8)
+    assert active == 1 and np.all(out == 1.0)
+    assert nt.stop(vid)
+    out, active = nt.render(8)
+    assert active == 0 and np.all(out == 0.0)

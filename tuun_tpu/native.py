@@ -64,6 +64,24 @@ def _load():
     lib.tn_length.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.tn_reset.argtypes = [ctypes.c_void_p]
     lib.tn_destroy.argtypes = [ctypes.c_void_p]
+    lib.tnt_create.restype = ctypes.c_void_p
+    lib.tnt_create.argtypes = [ctypes.c_int32]
+    lib.tnt_play.restype = ctypes.c_int64
+    lib.tnt_play.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_uint32]
+    lib.tnt_render.restype = ctypes.c_int64
+    lib.tnt_render.argtypes = [ctypes.c_void_p,
+                               ctypes.POINTER(ctypes.c_float),
+                               ctypes.c_int64]
+    lib.tnt_stop.restype = ctypes.c_int32
+    lib.tnt_stop.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.tnt_now.restype = ctypes.c_int64
+    lib.tnt_now.argtypes = [ctypes.c_void_p]
+    lib.tnt_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -187,3 +205,68 @@ def render(w: ir.Waveform, n: int, sample_rate: int, seed: int = 0,
         if ln < m:
             break
     return out[:total]
+
+
+class NativeTracker:
+    """Native (C++) multi-voice mixer/scheduler: the host-side runtime
+    analogue of tracker.rs's audio callback — pending voices promote at
+    their start sample (mid-block starts are in-block offsets), late
+    starts catch up by generating-and-discarding, active voices mix
+    additively, finished voices retire. The TPU tracker
+    (tuun_tpu.tracker) is the production path; this is the fast native
+    CPU fallback (native/tuun_native.cpp Tracker)."""
+
+    def __init__(self, sample_rate: int):
+        self._lib = _load()
+        self._handle = self._lib.tnt_create(sample_rate)
+        self.sample_rate = sample_rate
+
+    def play(self, w: ir.Waveform, start: int = -1, seed: int = 0) -> int:
+        nodes, consts, data = encode(w)
+        nodes = np.ascontiguousarray(nodes)
+        consts = np.ascontiguousarray(consts)
+        data = np.ascontiguousarray(data)
+        vid = self._lib.tnt_play(
+            self._handle,
+            nodes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(nodes),
+            consts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(consts),
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(data), start, seed)
+        if vid < 0:
+            raise RuntimeError("failed to build native voice program")
+        return int(vid)
+
+    def render(self, count: int) -> Tuple[np.ndarray, int]:
+        """Mixes the next `count` samples; returns (mix, active_voices)."""
+        out = np.zeros(count, dtype=np.float32)
+        active = self._lib.tnt_render(
+            self._handle,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), count)
+        return out, int(active)
+
+    def stop(self, voice_id: int) -> bool:
+        return bool(self._lib.tnt_stop(self._handle, voice_id))
+
+    @property
+    def now(self) -> int:
+        return int(self._lib.tnt_now(self._handle))
+
+    def run_to_completion(self, block: int = 1024,
+                          max_seconds: float = 120.0) -> np.ndarray:
+        chunks = []
+        budget = int(max_seconds * self.sample_rate)
+        while budget > 0:
+            out, active = self.render(min(block, budget))
+            chunks.append(out)
+            budget -= len(out)
+            if active == 0:
+                break
+        return np.concatenate(chunks) if chunks else \
+            np.zeros(0, np.float32)
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.tnt_destroy(self._handle)
+            self._handle = None
