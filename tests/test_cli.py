@@ -1,0 +1,92 @@
+"""The batch CLI (tuun_tpu.cli) driven in-process: expression renders,
+program files, .tuunp lists, captures, dumps, and error paths."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tuun_tpu import cli
+from tuun_tpu.wav import read_wav
+
+FAST = ["--precision", "exact", "--no-jit", "--sample_rate", "100",
+        "--buffer_size", "32"]
+
+
+def run(argv):
+    return cli.main(argv)
+
+
+def test_expr_render_out(tmp_path, capsys):
+    out = tmp_path / "out.wav"
+    rc = run(["--expr", "sine(2*pi*5, 0) | fin(time - 0.5)",
+              "--render-out", str(out), *FAST, "--quiet"])
+    assert rc == 0
+    s, sr = read_wav(out)
+    assert sr == 100
+    expected = np.sin(2 * np.pi * 5 * np.arange(50) / 100)
+    np.testing.assert_allclose(s[:50], expected, atol=1e-5)
+
+
+def test_program_file_with_annotations(tmp_path):
+    src = ("open std;\n"
+           "#{level_db=0}\n"
+           "_ = $5 | fin(time - 0.3);\n")
+    f = tmp_path / "prog.tuun"
+    f.write_text(src)
+    out = tmp_path / "mix.wav"
+    rc = run([str(f), "--render-out", str(out), *FAST, "--quiet"])
+    assert rc == 0
+    s, _ = read_wav(out)
+    assert len(s) >= 30
+    assert np.abs(s).max() > 0.5
+
+
+def test_tuunp_program_list(tmp_path):
+    f = tmp_path / "list.tuunp"
+    f.write_text("// comment line\n"
+                 "\n"
+                 "sine(2*pi*4, 0) | fin(time - 0.2)\n"
+                 "this is not valid ( syntax\n"       # reported, skipped
+                 "0.5 | fin(time - 0.1)\n")
+    out = tmp_path / "mix.wav"
+    rc = run([str(f), "--render-out", str(out), *FAST, "--quiet"])
+    assert rc == 0
+    s, _ = read_wav(out)
+    assert len(s) >= 20
+
+
+def test_capture_writes_wav(tmp_path):
+    rc = run(["--expr", '0.25 | fin(time - 0.2) | capture("cap-test")',
+              "-O", str(tmp_path), "--date_format", "", *FAST, "--quiet"])
+    assert rc == 0
+    s, sr = read_wav(tmp_path / "cap-test.wav")
+    np.testing.assert_array_equal(s, np.full(20, 0.25, np.float32))
+
+
+def test_dump_prints_ir(capsys):
+    rc = run(["--expr", "sine(2*pi*3, 0)", "--dump", *FAST, "--quiet",
+              "--duration", "1"])
+    assert rc == 0
+    assert "Sine" in capsys.readouterr().out
+
+
+def test_missing_input_is_error(capsys):
+    assert run([]) == 2
+    assert run(["/nonexistent/file.tuun", "--quiet"]) == 1
+    assert run(["--expr", "1 +", "--quiet"]) == 1
+    assert run(["--expr", "42", "--quiet"]) == 1  # not a waveform
+
+
+def test_all_bindings_mode(tmp_path):
+    f = tmp_path / "defs.tuun"
+    f.write_text("a = sine(2*pi*4, 0) | fin(time - 0.2);\n"
+                 "b = 0.5 | fin(time - 0.1);\n")
+    out = tmp_path / "mix.wav"
+    rc = run([str(f), "--all-bindings", "--open", "std",
+              "--render-out", str(out), *FAST, "--quiet"])
+    assert rc == 0
+    s, _ = read_wav(out)
+    # both programs mixed: the constant 0.5 shifts the sine's first samples
+    assert len(s) >= 20
+    assert abs(float(s[0]) - 0.5) < 0.02
