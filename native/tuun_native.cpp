@@ -523,6 +523,7 @@ struct TrackerVoice {
   std::unique_ptr<Engine> engine;
   int64_t start = 0;     // absolute sample index of the voice's first sample
   int64_t caught_up = 0; // samples consumed (for late-start catch-up)
+  int64_t repeat_every = 0;  // 0 = play once (tracker.rs:546-573)
   bool finished = false;
   int64_t id = 0;
 };
@@ -534,13 +535,30 @@ struct Tracker {
   std::vector<std::unique_ptr<TrackerVoice>> voices;
   std::vector<float> scratch;
 
-  int64_t play(std::unique_ptr<Engine> engine, int64_t start) {
+  int64_t play(std::unique_ptr<Engine> engine, int64_t start,
+               int64_t repeat_every) {
     auto v = std::make_unique<TrackerVoice>();
     v->engine = std::move(engine);
     v->start = start < 0 ? now : start;
+    v->repeat_every = repeat_every > 0 ? repeat_every : 0;
     v->id = next_id++;
     voices.push_back(std::move(v));
     return voices.back()->id;
+  }
+
+  // Reschedules a finished repeating voice at its next repetition that
+  // has not already fully passed, skipping missed ones (tracker.rs
+  // skips repetitions the clock ran over).
+  static void reschedule(TrackerVoice* v, int64_t now) {
+    int64_t next = v->start + v->repeat_every;
+    if (next < now) {
+      int64_t k = (now - v->start + v->repeat_every - 1) / v->repeat_every;
+      next = v->start + k * v->repeat_every;
+    }
+    v->engine->root->set_initial();
+    v->start = next;
+    v->caught_up = 0;
+    v->finished = false;
   }
 
   // Renders [now, now + count) into out (which is zero-filled here),
@@ -564,20 +582,34 @@ struct Tracker {
                                           scratch.data(), m);
         v->caught_up += got;
         missed -= got;
-        if (got < m) { v->finished = true; break; }
+        if (got < m) {
+          v->finished = true;
+          if (v->repeat_every > 0) reschedule(v.get(), block_start);
+          break;
+        }
       }
       if (v->finished) continue;
       // The voice's segment within this block (mid-block starts are just
       // offsets — no buffer segmentation needed with per-voice engines).
-      int64_t offset = std::max<int64_t>(v->start - block_start, 0);
-      int64_t want = count - offset;
-      if (want <= 0) continue;
-      if ((int64_t)scratch.size() < want) scratch.resize(want);
-      int64_t got = v->engine->generate(v->engine->root.get(),
-                                        scratch.data(), want);
-      for (int64_t i = 0; i < got; i++) out[offset + i] += scratch[i];
-      v->caught_up += got;
-      if (got < want) v->finished = true;
+      // A repeating voice may restart within the same block, so loop
+      // until it runs past the block end or truly finishes.
+      while (!v->finished && v->start < block_end) {
+        int64_t offset = std::max<int64_t>(v->start - block_start, 0);
+        int64_t want = count - offset;
+        if (want <= 0) break;
+        if ((int64_t)scratch.size() < want) scratch.resize(want);
+        int64_t got = v->engine->generate(v->engine->root.get(),
+                                          scratch.data(), want);
+        for (int64_t i = 0; i < got; i++) out[offset + i] += scratch[i];
+        v->caught_up += got;
+        if (got < want) {
+          v->finished = true;
+          if (v->repeat_every > 0)
+            reschedule(v.get(), v->start + v->caught_up);
+        } else {
+          break;  // filled to the block end; resume next block
+        }
+      }
     }
     now = block_end;
     int64_t active = 0;
@@ -649,7 +681,8 @@ void* tnt_create(int32_t sample_rate) {
 // malformed program.
 int64_t tnt_play(void* handle, const int32_t* nodes, int64_t n_nodes,
                  const float* consts, int64_t n_consts, const float* data,
-                 int64_t n_data, int64_t start, uint32_t seed) {
+                 int64_t n_data, int64_t start, uint32_t seed,
+                 int64_t repeat_every) {
   auto* t = static_cast<Tracker*>(handle);
   auto engine = std::make_unique<Engine>();
   engine->sample_rate = t->sample_rate;
@@ -660,7 +693,7 @@ int64_t tnt_play(void* handle, const int32_t* nodes, int64_t n_nodes,
   int32_t uid = 0;
   engine->root = build(nodes, n_nodes, &cursor, &uid);
   if (!engine->root || cursor != n_nodes) return -1;
-  return t->play(std::move(engine), start);
+  return t->play(std::move(engine), start, repeat_every);
 }
 
 int64_t tnt_render(void* handle, float* out, int64_t count) {

@@ -183,3 +183,24 @@ def test_native_tracker_stop():
     assert nt.stop(vid)
     out, active = nt.render(8)
     assert active == 0 and np.all(out == 0.0)
+
+
+def test_native_tracker_repeat_every():
+    """repeat_every re-schedules a fresh copy each period, skipping
+    repetitions the clock ran past (tracker.rs:546-573)."""
+    from tuun_tpu import native
+    if not native.native_available():
+        pytest.skip("no native toolchain")
+    sr = 100
+    blip = ir.Fin(
+        ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(), ir.Const(0.1)),
+        ir.Const(1.0))
+    nt = native.NativeTracker(sr)
+    nt.play(blip, start=0, repeat_every=50)
+    out, active = nt.render(160)
+    assert active == 1  # still scheduled
+    # blips at samples [0,10), [50,60), [100,110), [150,160)
+    expected = np.zeros(160, np.float32)
+    for s in (0, 50, 100, 150):
+        expected[s:s + 10] = 1.0
+    np.testing.assert_array_equal(out, expected)

@@ -72,7 +72,7 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_uint32]
+        ctypes.c_int64, ctypes.c_uint32, ctypes.c_int64]
     lib.tnt_render.restype = ctypes.c_int64
     lib.tnt_render.argtypes = [ctypes.c_void_p,
                                ctypes.POINTER(ctypes.c_float),
@@ -221,7 +221,8 @@ class NativeTracker:
         self._handle = self._lib.tnt_create(sample_rate)
         self.sample_rate = sample_rate
 
-    def play(self, w: ir.Waveform, start: int = -1, seed: int = 0) -> int:
+    def play(self, w: ir.Waveform, start: int = -1, seed: int = 0,
+             repeat_every: int = 0) -> int:
         nodes, consts, data = encode(w)
         nodes = np.ascontiguousarray(nodes)
         consts = np.ascontiguousarray(consts)
@@ -233,7 +234,7 @@ class NativeTracker:
             consts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             len(consts),
             data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            len(data), start, seed)
+            len(data), start, seed, repeat_every)
         if vid < 0:
             raise RuntimeError("failed to build native voice program")
         return int(vid)
