@@ -129,7 +129,10 @@ def test_fuzz_native_vs_oracle(seed):
     rng = random.Random(seed)
     w = random_waveform(rng, depth=4)
     n = 48
-    ref = oracle.render(w, n, SR, seed=seed)
+    # Block-matched comparison: written-but-invalid filter-coefficient
+    # samples depend on the generate() window segmentation (fresh zero
+    # buffers per window, as in the reference).
+    ref = oracle.render(w, n, SR, seed=seed, block=7)
     got = native.render(w, n, SR, seed=seed, block=7)
     assert len(got) == len(ref), f"seed={seed}\n{w}"
     mask = np.isfinite(ref)
