@@ -107,3 +107,22 @@ def test_pm_piano_keys_instrument():
     s.note_off(60)
     s.render_all(max_seconds=3)
     assert not s.tracker.active
+
+
+def test_parse_sliders_helper():
+    from tuun_tpu.session import parse_sliders
+    out = parse_sliders('["gain:0.5:0:1", "cutoff:0.5:fn(x) => 100 * pow(100, x)"]')
+    assert out[0] == {"type": "linear", "label": "gain",
+                      "initial_value": 0.5, "min": 0.0, "max": 1.0}
+    u = out[1]
+    assert u["type"] == "user-defined" and u["label"] == "cutoff"
+    assert abs(u["initial_value"] - 1000.0) < 1.0
+    assert abs(u["value_at_0"] - 100.0) < 0.01
+    assert abs(u["value_at_1"] - 10000.0) < 1.0
+
+
+def test_evaluate_slider_helper():
+    from tuun_tpu.session import evaluate_slider
+    assert abs(evaluate_slider("fn(x) => 100 * pow(100, x)", 0.5)
+               - 1000.0) < 1.0
+    assert abs(evaluate_slider("fn(x) => x * 2", 0.25) - 0.5) < 1e-6

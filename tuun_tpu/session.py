@@ -164,3 +164,42 @@ class TuunSession:
             w, self.sliders.configs, self.sliders.normalized_values)
         self.tracker.modify(WaveformId.key(key), MarkId.TERMINATOR, w)
         self.tracker.remove_pending(WaveformId.key(key))
+
+
+def parse_sliders(text: str) -> list:
+    """Parses a slider-list literal (the `["label:init:min:max", ...]`
+    form from annotations) into UI-ready descriptors — the analogue of
+    the reference's wasm parseSliders (wasm.rs:374-413), returning
+    dicts instead of a hand-built JSON string."""
+    from . import parser
+    from .expr import SliderLinear, SliderUserDefined
+    from .sliders import denormalize_or_zero
+
+    configs = parser.parse_sliders(text)
+    out = []
+    for s in configs:
+        f = s.function
+        if isinstance(f, SliderLinear):
+            out.append({"type": "linear", "label": s.label,
+                        "initial_value": f.initial_value,
+                        "min": f.min, "max": f.max})
+        elif isinstance(f, SliderUserDefined):
+            out.append({
+                "type": "user-defined", "label": s.label,
+                "normalized_initial_value": f.normalized_initial_value,
+                "function_source": f.function_source,
+                "initial_value": denormalize_or_zero(
+                    f, f.normalized_initial_value),
+                "value_at_0": denormalize_or_zero(f, 0.0),
+                "value_at_1": denormalize_or_zero(f, 1.0)})
+    return out
+
+
+def evaluate_slider(function_source: str, normalized_value: float) -> float:
+    """Evaluates a user-defined slider function at a normalized value,
+    e.g. evaluate_slider("fn(x) => 100 * pow(100, x)", 0.5) ~= 1000
+    (wasm.rs evaluateSlider, :417-425)."""
+    from .expr import SliderUserDefined
+    from .sliders import denormalize
+    return denormalize(SliderUserDefined(0.0, function_source),
+                       normalized_value)
