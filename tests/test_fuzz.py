@@ -169,3 +169,32 @@ def test_fuzz_reloc_fast_path_vs_oracle(seed):
     n = min(len(got), len(ref_b))
     np.testing.assert_allclose(got[:n], ref_b[:n], atol=2e-4, rtol=1e-3,
                                err_msg=f"seed={seed}\n{w}")
+
+
+@pytest.mark.parametrize("seed", range(72, 96))
+def test_fuzz_fast_precision_vs_exact(seed):
+    """The production (fast) precision path against exact mode on random
+    trees. NCO trigger-sign quantization can shift reset edges by one
+    sample and filters smear locally, so the comparison is statistical:
+    median error tiny, large-error lanes rare, lengths equal."""
+    rng = random.Random(seed)
+    w = random_waveform(rng, depth=3)
+    n = 48
+    ref = oracle.render(w, n, SR, seed=seed)
+    if not np.all(np.isfinite(ref)):
+        pytest.skip("unstable filter / inf samples")
+    if ill_conditioned(w, n, seed):
+        pytest.skip("ill-conditioned")
+    exact = engine.render(w, n, SR, precision="exact", seed=seed,
+                          block=16, jit=False)
+    fast = engine.render(w, n, SR, precision="fast", seed=seed,
+                         block=16, jit=False)
+    assert len(fast) == len(exact), f"seed={seed}\n{w}"
+    if not len(fast):
+        return
+    err = np.abs(fast - exact)
+    scale = max(1.0, float(np.abs(exact).max()))
+    assert float(np.median(err)) < 1e-3 * scale, f"seed={seed}\n{w}"
+    assert float(np.mean(err > 0.05 * scale)) < 0.1, (
+        f"seed={seed} large-error fraction {np.mean(err > 0.05*scale):.2f}"
+        f"\n{w}")
