@@ -15,7 +15,7 @@ dryrun_multichip` drives it on a virtual mesh for validation.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 
