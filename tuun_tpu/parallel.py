@@ -69,9 +69,8 @@ def render_voices_meshed(waveforms: Sequence[ir.Waveform], n_samples: int,
     params = [voice.params_for(w, seed=seed + i)
               for i, w in enumerate(waveforms)]
     # Pad the voice axis to a multiple of the mesh's voice-axis size
-    # (sharding needs even splits); padded voices render silence by
-    # zeroing their params' amplitude is NOT generally possible, so pad
-    # by repeating voice 0 and masking its contribution out of the mix.
+    # (sharding needs even splits). Padding repeats voice 0 and masks its
+    # contribution out of the mix with a zero weight.
     vsize = mesh.shape["voice"]
     V = len(params)
     pad = (-V) % vsize
