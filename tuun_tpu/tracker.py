@@ -265,6 +265,16 @@ class VoiceGroup:
                 lambda x, i=i: x[i], self.bstate)
 
 
+def _staged_ready(staged) -> bool:
+    """Non-blocking: has the staged window's async device->host copy
+    completed? Runtimes without is_ready() resolve eagerly (blocking),
+    which is only a performance difference."""
+    try:
+        return bool(staged[0].is_ready())
+    except Exception:
+        return True
+
+
 class Tracker:
     """Owns active + pending voices and renders mixed blocks."""
 
@@ -547,14 +557,26 @@ class Tracker:
         drain=True everything resolves now (needed before Modify, stop,
         regroup, or termination checks)."""
         self._since_sync = 0
-        prior = getattr(self, "_staged", None)
-        self._staged = None
-        self._resolve_staged(prior)
+        queue = getattr(self, "_staged_q", None)
+        if queue is None:
+            queue = self._staged_q = []
         staged = self._stage_pending()
+        if staged is not None:
+            queue.append(staged)
         if drain:
-            self._resolve_staged(staged)
+            for st in queue:
+                self._resolve_staged(st)
+            queue.clear()
         else:
-            self._staged = staged
+            # Resolve only windows whose device->host copy has actually
+            # landed: the host enqueues far ahead of the device, so a
+            # window staged one sync ago is usually still in flight —
+            # blocking on it would cost a full link round trip per sync.
+            # Finished-voice detection arrives a few windows late, which
+            # is harmless (finished voices render zeros). The depth cap
+            # bounds memory and staleness.
+            while queue and (len(queue) > 32 or _staged_ready(queue[0])):
+                self._resolve_staged(queue.pop(0))
         finished = [v for v in self.active if v.finished]
         if finished:
             for group in self._groups:
@@ -600,17 +622,60 @@ class Tracker:
     def run_to_completion(self, max_seconds: float = 120.0,
                           sink: Optional[Callable[[np.ndarray], None]] = None
                           ) -> np.ndarray:
-        """Renders blocks until no active or pending voices remain."""
-        chunks = []
+        """Renders blocks until no active or pending voices remain.
+
+        In deferred-sync mode the per-block outputs stay on the device;
+        fetching each individually would cost one link round trip per
+        block. Instead each sync window's blocks stack into one device
+        array whose device->host copy starts immediately and resolves
+        lazily once landed — output delivery pipelines exactly like the
+        valid-end scalars."""
+        import jax.numpy as jnp
+
+        chunks: List[np.ndarray] = []
+        window: List = []
+        in_flight: List = []  # packed [k, block] device arrays
+
+        def flush_window():
+            if not window:
+                return
+            packed = window[0] if len(window) == 1 else jnp.stack(window)
+            window.clear()
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
+            in_flight.append(packed)
+
+        def resolve(limit: Optional[int] = None):
+            while in_flight and (
+                    (limit is not None and len(in_flight) > limit)
+                    or _staged_ready((in_flight[0],))):
+                packed = in_flight.pop(0)
+                arr = np.asarray(packed, np.float32).reshape(
+                    -1, self.block_size)
+                for row in arr:
+                    chunks.append(row)
+                    if sink is not None:
+                        sink(row)
+
         max_blocks = int(max_seconds * self.sample_rate / self.block_size) + 1
         for _ in range(max_blocks):
             y, status = self.render_block()
-            chunks.append(y)
-            if sink is not None:
-                sink(y)
+            if isinstance(y, np.ndarray):
+                chunks.append(y)
+                if sink is not None:
+                    sink(y)
+            else:
+                window.append(y)
+                if self._since_sync == 0:
+                    flush_window()
+                    resolve(limit=32)
             # Termination is only decidable at sync points.
             if self._since_sync == 0 and not self.active and not self.pending:
                 break
+        flush_window()
+        resolve(limit=0)
         if not chunks:
             return np.zeros(0, np.float32)
         return np.concatenate([np.asarray(c, np.float32) for c in chunks])
