@@ -301,3 +301,22 @@ def test_edit_history():
     h.record("abX")                  # new edit clears the redo stack
     assert h.redo() is None
     assert h.undo() == "abc"
+
+
+def test_deferred_output_delivery_sink_order():
+    """run_to_completion's packed-window output delivery hands the sink
+    every block, in order, exactly once (blocks resolve lazily after
+    their device->host copies land)."""
+    t = make_tracker(sync_interval=4)
+    # A ramp makes block identity visible: sample k = k / sr.
+    t.play("a", ir.Fin(
+        ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(), ir.Const(3.0)),
+        ir.Time()))
+    seen = []
+    mix = t.run_to_completion(max_seconds=5.0, sink=seen.append)
+    got = np.concatenate([np.asarray(c, np.float32) for c in seen])
+    np.testing.assert_array_equal(got, np.asarray(mix, np.float32))
+    n_valid = int(3.0 * t.sample_rate)
+    expected = np.arange(n_valid, dtype=np.float32) / t.sample_rate
+    np.testing.assert_allclose(mix[:n_valid], expected, atol=1e-5)
+    assert np.all(np.asarray(mix[n_valid:]) == 0.0)
