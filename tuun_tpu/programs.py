@@ -16,7 +16,7 @@ from typing import List, Optional, Sequence, Tuple
 
 from . import parser
 from .diagnostics import Source
-from .expr import (ALevel, ASkipSlots, ASliders, AColor, BDef, BOpen,
+from .expr import (ALevel, ASkipSlots, ASliders, AColor, BDef,
                    PIdent, Slider, SliderLinear, SliderUserDefined,
                    SourceBinding, TuunError)
 from .ids import MarkId
