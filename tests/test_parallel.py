@@ -45,3 +45,23 @@ def test_graft_entry_points():
     assert int(v) == 8192
     assert np.isfinite(np.asarray(y)).all()
     g.dryrun_multichip(8)
+
+
+@needs_devices
+def test_tracker_with_mesh_matches_meshless():
+    """A Tracker built with a Mesh shards voice groups over the voice
+    axis; output must match the meshless tracker exactly."""
+    from tuun_tpu.tracker import Tracker
+
+    def song(t):
+        for i in range(5):
+            t.play(f"v{i}", note(0.4 + 0.3 * i), start=4 * i)
+        return t.run_to_completion(max_seconds=4.0)
+
+    ref = song(Tracker(8, 16, precision="fast", jit=True))
+    mesh = default_mesh(8)
+    got = song(Tracker(8, 16, precision="fast", jit=True, mesh=mesh))
+    n = min(len(ref), len(got))
+    np.testing.assert_allclose(np.asarray(got[:n]), np.asarray(ref[:n]),
+                               atol=1e-5)
+    assert np.all(np.asarray(ref[n:]) == 0) and np.all(np.asarray(got[n:]) == 0)

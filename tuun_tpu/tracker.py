@@ -230,34 +230,94 @@ class VoiceGroup:
     per-sample loop (tracker.rs:597-637).
     """
 
-    def __init__(self, compiled: CompiledVoice, voices: List["Voice"]):
+    def __init__(self, compiled: CompiledVoice, voices: List["Voice"],
+                 mesh=None):
         import jax.numpy as jnp
         self.compiled = compiled
         self.voices = voices
         self.fast = all(v.fast for v in voices)
         self.lits = voices[0].lits if self.fast else None
         self._pending: List = []  # (valid_end[B], caps) per deferred block
+        self.mesh = mesh
+        params = [v.params for v in voices]
+        states = [v.state for v in voices]
+        # Mesh mode: pad the voice axis to the mesh's voice-axis size so
+        # the shard is even; padded rows repeat voice 0 and are masked
+        # out of the mix with a zero weight.
+        self.pad = 0
+        if mesh is not None:
+            vsize = mesh.shape["voice"]
+            self.pad = (-len(voices)) % vsize
+            params = params + [params[0]] * self.pad
+            states = states + [states[0]] * self.pad
+        self.weights = None
         self.bparams = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[v.params for v in voices])
+            lambda *xs: jnp.stack(xs), *params)
         self.bstate = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[v.state for v in voices])
+            lambda *xs: jnp.stack(xs), *states)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            vsh = NamedSharding(mesh, PartitionSpec("voice"))
+            shard = lambda t: jax.device_put(
+                t, jax.tree_util.tree_map(lambda _: vsh, t))
+            self.bparams = shard(self.bparams)
+            self.bstate = shard(self.bstate)
+            self.weights = jax.device_put(
+                jnp.asarray([1.0] * len(voices) + [0.0] * self.pad,
+                            jnp.float32), vsh)
 
     def render(self, n: int, starts, e):
         import jax.numpy as jnp
-        fn = self.compiled.batched_render_fn(n, fast=self.fast,
-                                             lits=self.lits)
+        if self.mesh is not None:
+            fn = self._meshed_render_fn(n)
+        else:
+            fn = self.compiled.batched_render_fn(n, fast=self.fast,
+                                                 lits=self.lits)
         # Cache device-resident argument buffers: a fresh host scalar per
         # block costs a host->device transfer, which on a high-latency
         # link dominates the whole dispatch.
+        starts = list(starts) + [0] * self.pad
         key = (tuple(starts), e)
         dev = getattr(self, "_arg_cache", None)
         if dev is None or dev[0] != key:
             self._arg_cache = (key, jnp.asarray(starts, jnp.int32),
                                jnp.int32(e))
         _, starts_dev, e_dev = self._arg_cache
-        y_sum, v, self.bstate, caps = fn(
-            self.bparams, self.bstate, starts_dev, e_dev)
+        if self.mesh is not None:
+            y_sum, v, self.bstate, caps = fn(
+                self.bparams, self.bstate, self.weights, starts_dev, e_dev)
+            v = v[:len(self.voices)]
+        else:
+            y_sum, v, self.bstate, caps = fn(
+                self.bparams, self.bstate, starts_dev, e_dev)
         return y_sum, v, caps
+
+    def _meshed_render_fn(self, n: int):
+        """The batched render jitted with the voice axis sharded over the
+        mesh: voices render data-parallel on their shards and the mix
+        reduces across them (XLA inserts the psum over ICI)."""
+        import jax.numpy as jnp
+        from functools import partial
+        from jax.sharding import NamedSharding, PartitionSpec
+        key = ("meshed", n, self.fast, self.lits, id(self.mesh))
+        fn = self.compiled._render_jit.get(key)
+        if fn is None:
+            mesh = self.mesh
+            vsh = NamedSharding(mesh, PartitionSpec("voice"))
+            render = partial(self.compiled._render_impl, n, self.fast,
+                             self.lits)
+
+            def batched(bp, bs, wts, starts, e):
+                y, v, st, caps = jax.vmap(
+                    render, in_axes=(0, 0, 0, None))(bp, bs, starts, e)
+                y = jax.lax.with_sharding_constraint(
+                    y, NamedSharding(mesh, PartitionSpec("voice", "time")))
+                return jnp.sum(y * wts[:, None], axis=0), v, st, caps
+
+            fn = jax.jit(batched, out_shardings=(
+                NamedSharding(mesh, PartitionSpec("time")), vsh, None, None))
+            self.compiled._render_jit[key] = fn
+        return fn
 
     def materialize_states(self) -> None:
         for i, voice in enumerate(self.voices):
@@ -283,7 +343,7 @@ class Tracker:
                  captured_date_format: str = "_%Y-%m-%d_%H-%M-%S",
                  precision: str = "fast", jit: bool = True, seed: int = 0,
                  compile_cache: Optional[_CompileCache] = None,
-                 sync_interval: int = 1):
+                 sync_interval: int = 1, mesh=None):
         self.sample_rate = sample_rate
         self.block_size = block_size
         self.captured_output_dir = Path(captured_output_dir)
@@ -302,6 +362,10 @@ class Tracker:
         # high-latency device links; retirement/captures resolve lazily).
         self.sync_interval = max(1, sync_interval)
         self._since_sync = 0
+        # Optional jax.sharding.Mesh: voice groups shard their batch axis
+        # over the mesh's "voice" axis (multi-chip polyphony; see
+        # tuun_tpu.parallel for the one-shot API).
+        self.mesh = mesh
 
     # -- commands ------------------------------------------------------
 
@@ -600,7 +664,8 @@ class Tracker:
         self._singles = []
         for voices in by_compiled.values():
             if len(voices) >= 2:
-                self._groups.append(VoiceGroup(voices[0].compiled, voices))
+                self._groups.append(VoiceGroup(voices[0].compiled, voices,
+                                               mesh=self.mesh))
             else:
                 self._singles.extend(voices)
         self._groups_dirty = False
