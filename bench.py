@@ -170,10 +170,45 @@ WORKLOAD_NAMES = ["filter_1_1", "filter_1_1_linear", "filter_4_3",
                   "large_440", "marks_4_40", "poly_16"]
 
 
+def bench_instrument(expr="harmonica(10.0, 440)", seconds=3.0,
+                     block=1 << 17):
+    """Informational: a stateful-reset instrument voice (the hardest
+    single-voice class: Reset over a filtered noise inner). Not part of
+    the headline geomean — it has no tracker_benches.rs counterpart."""
+    import jax.numpy as jnp
+    ev = Evaluator(48000, 120, STDLIB)
+    out = ev.evaluate_source(expr, opens=("std",))
+    if isinstance(out, ESeq):
+        out = out.waveform
+    w = optimizer.optimize(out.waveform)
+    cfg = EngineConfig(48000, precision="fast", jit=True)
+    voice = CompiledVoice(w, cfg)
+    P = voice.params()
+    fn = voice.render_fn(block, P=P)
+    s, e = jnp.int32(0), jnp.int32(block)
+    state = voice.init(P)
+    y, v, state, _ = fn(P, state, s, e)
+    jax.block_until_ready((y, state))
+    state = voice.init(P)
+    n_blocks = max(10, int(seconds * 48000 // block))
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        y, v, state, _ = fn(P, state, s, e)
+    jax.block_until_ready((y, state))
+    dt = time.perf_counter() - t0
+    sps = n_blocks * block / dt
+    print(f"# instrument_harmonica: {sps / 1e6:.1f} Msamples/s "
+          f"({sps / REALTIME_BASE:.0f}x realtime@48k, informational)",
+          file=sys.stderr)
+    return sps
+
+
 def run_one(name: str) -> int:
     """Subprocess entry: bench one workload, print 'RESULT <sps>'."""
     if name == "poly_voices":
         sps = bench_polyphony(256)
+    elif name == "instrument":
+        sps = bench_instrument()
     else:
         sps = bench_one(name, workloads()[name])
     print(f"RESULT {sps}")
@@ -206,15 +241,17 @@ def main():
         except Exception as exc:  # pragma: no cover
             print(f"# {name} FAILED: {exc}", file=sys.stderr)
             results[name] = None
-    try:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--one", "poly_voices"],
-            capture_output=True, text=True, timeout=420)
-        for line in proc.stderr.splitlines():
-            if line.startswith("# poly_voices"):
-                print(line, file=sys.stderr)
-    except Exception as exc:  # pragma: no cover
-        print(f"# poly_voices FAILED: {exc}", file=sys.stderr)
+    for extra, tag in (("poly_voices", "# poly_voices"),
+                       ("instrument", "# instrument")):
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--one", extra],
+                capture_output=True, text=True, timeout=420)
+            for line in proc.stderr.splitlines():
+                if line.startswith(tag):
+                    print(line, file=sys.stderr)
+        except Exception as exc:  # pragma: no cover
+            print(f"# {extra} FAILED: {exc}", file=sys.stderr)
     ok = {k: v for k, v in results.items() if v}
     if not ok:
         print(json.dumps({"metric": "tracker_bench_x_realtime_48k",
