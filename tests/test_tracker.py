@@ -320,3 +320,42 @@ def test_deferred_output_delivery_sink_order():
     expected = np.arange(n_valid, dtype=np.float32) / t.sample_rate
     np.testing.assert_allclose(mix[:n_valid], expected, atol=1e-5)
     assert np.all(np.asarray(mix[n_valid:]) == 0.0)
+
+
+def test_deferred_host_blocks_keep_fifo_order(monkeypatch):
+    """Host blocks rendered while no voices are active (a silent gap before
+    a pending voice) must not jump ahead of device windows whose
+    device->host copies are still in flight: every block routes through
+    the same delivery FIFO (regression: round-1 advisor HIGH finding)."""
+    import tuun_tpu.tracker as tr
+
+    def program(t):
+        t.play("a", fin_const(1.0, 0.30))            # samples 0-29
+        t.play("b", fin_const(2.0, 0.20), start=96)  # samples 96-115
+
+    ref = make_tracker(sync_interval=1)
+    program(ref)
+    expected = ref.run_to_completion(max_seconds=3.0)
+
+    real_ready = tr._staged_ready
+
+    def lagging_ready(staged):
+        # Output window packs (>= one block of samples) report "copy not
+        # landed" — the realistic skew on a high-latency link, where the
+        # small, earlier-issued valid-end packs land first.
+        try:
+            if int(np.prod(staged[0].shape)) >= 16:
+                return False
+        except Exception:
+            pass
+        return real_ready(staged)
+
+    monkeypatch.setattr(tr, "_staged_ready", lagging_ready)
+    t = make_tracker(sync_interval=4)
+    program(t)
+    got = t.run_to_completion(max_seconds=3.0)
+
+    n = min(len(expected), len(got))
+    np.testing.assert_allclose(got[:n], expected[:n], atol=1e-6)
+    assert np.all(np.asarray(got[n:]) == 0.0)
+    assert np.all(np.asarray(expected[n:]) == 0.0)

@@ -1236,8 +1236,16 @@ class CompiledVoice:
         if lits is None:
             vals = np.asarray(jax.device_get(self._lens_fn(P)))
             lits = tuple(int(x) for x in vals)
-            if len(self._lits_cache) < 256:
-                self._lits_cache[key] = lits
+            # The id(P) key is only valid while P is alive: a collected
+            # Params frees its id for reuse, so evict the entry the moment
+            # P is garbage-collected (this also bounds the cache by the
+            # number of live parameter sets — no arbitrary cap needed).
+            try:
+                import weakref
+                weakref.finalize(P, self._lits_cache.pop, key, None)
+            except TypeError:
+                return lits  # unweakrefable P: correct but uncached
+            self._lits_cache[key] = lits
         return lits
 
     # -- params ---------------------------------------------------------

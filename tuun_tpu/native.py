@@ -34,13 +34,23 @@ _lib = None
 
 
 def build_library(force: bool = False) -> Path:
-    """Compiles the shared library if missing or stale."""
-    if LIB.exists() and not force and \
-            LIB.stat().st_mtime >= SOURCE.stat().st_mtime:
+    """Compiles the shared library if missing or stale.
+
+    Staleness is decided by a content hash of the source recorded at build
+    time, not mtime: a stale (or tampered) binary next to a newer-looking
+    source would otherwise load silently. The binary itself is never
+    committed — it rebuilds from tuun_native.cpp in ~2 s on first use."""
+    import hashlib
+
+    stamp = NATIVE_DIR / "libtuun_native.sha256"
+    want = hashlib.sha256(SOURCE.read_bytes()).hexdigest()
+    if (LIB.exists() and not force and stamp.exists()
+            and stamp.read_text().strip() == want):
         return LIB
     cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
            str(SOURCE), "-o", str(LIB)]
     subprocess.run(cmd, check=True, capture_output=True)
+    stamp.write_text(want)
     return LIB
 
 

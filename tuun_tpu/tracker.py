@@ -102,6 +102,12 @@ def collect_marks(w: ir.Waveform, sample_rate: int, waveform_id,
         if isinstance(node, ir.Alt):
             walk(node.trigger, start)
             return
+        if isinstance(node, (ir.Fin, ir.Filter)):
+            # Parity with process_marked (tracker.rs:246-253): only the
+            # inner waveform is walked — marks inside a Fin length or a
+            # filter-coefficient subtree are not reported in Status.
+            walk(node.waveform, start)
+            return
         for child in node.children():
             walk(child, start)
 
@@ -728,9 +734,13 @@ class Tracker:
         for _ in range(max_blocks):
             y, status = self.render_block()
             if isinstance(y, np.ndarray):
-                chunks.append(y)
-                if sink is not None:
-                    sink(y)
+                # Host blocks (no active voices) must NOT skip ahead of
+                # device windows still in flight: enqueue them in the same
+                # FIFO (always "ready" — no async copy to wait for), after
+                # packing any device blocks accumulated so far.
+                flush_window()
+                in_flight.append(y.reshape(1, -1))
+                resolve(limit=32)
             else:
                 window.append(y)
                 if self._since_sync == 0:
