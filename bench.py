@@ -171,7 +171,7 @@ WORKLOAD_NAMES = ["filter_1_1", "filter_1_1_linear", "filter_4_3",
 
 
 def bench_instrument(expr="harmonica(10.0, 440)", seconds=3.0,
-                     block=1 << 17):
+                     block=1 << 19):
     """Informational: a stateful-reset instrument voice (the hardest
     single-voice class: Reset over a filtered noise inner). Not part of
     the headline geomean — it has no tracker_benches.rs counterpart."""

@@ -32,9 +32,11 @@ def test_immediate_play_and_finish():
     t = make_tracker()
     t.play("a", fin_const(1.0, 0.32))  # 32 samples
     out = t.run_to_completion()
-    assert len(out) == 48  # 3 blocks of 16
+    # Exact retirement: the voice's symbolic length is known, so the run
+    # ends at its final block — no trailing lazy-detection blocks.
+    assert len(out) == 32  # 2 blocks of 16
     np.testing.assert_array_equal(out[:32], 1.0)
-    np.testing.assert_array_equal(out[32:], 0.0)
+    assert t.known_end == 32
 
 
 def test_mid_block_start_and_mix():
@@ -113,6 +115,28 @@ def test_capture_writes_wav(tmp_path):
     samples, sr = read_wav(tmp_path / "dump.wav")
     assert sr == 100
     np.testing.assert_array_equal(samples, np.full(20, 0.25, np.float32))
+
+
+def test_capture_survives_exact_retirement_with_deferred_syncs(tmp_path):
+    # Exact retirement can finish a voice while windows holding its
+    # capture slices are still in the staged queue; closing must drain
+    # them first or the capture WAV loses its tail.
+    t = make_tracker(captured_output_dir=tmp_path, sync_interval=4)
+    t.captured_date_format = ""
+    t.play("a", ir.Captured("dump", fin_const(0.25, 0.20)))
+    t.run_to_completion()
+    t.stop_all()
+    samples, sr = read_wav(tmp_path / "dump.wav")
+    np.testing.assert_array_equal(samples, np.full(20, 0.25, np.float32))
+
+
+def test_exact_retirement_known_end_mid_block():
+    t = make_tracker()
+    t.play("a", fin_const(1.0, 0.25))  # 25 samples, mid-block end
+    out = t.run_to_completion()
+    assert t.known_end == 25
+    np.testing.assert_array_equal(out[:25], 1.0)
+    np.testing.assert_array_equal(out[25:], 0.0)
 
 
 def test_collect_marks():

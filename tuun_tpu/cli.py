@@ -238,11 +238,18 @@ def main(argv=None) -> int:
     # Voices still running at the duration cap (infinite programs): stop
     # them so captures flush to their WAV files.
     tracker.stop_all()
-    # Deferred syncs render whole windows past the last voice; trim the
-    # trailing silence (keep one buffer of padding).
-    nz = np.nonzero(mixed)[0]
-    if len(nz):
-        mixed = mixed[:min(len(mixed), int(nz[-1]) + 1 + args.buffer_size)]
+    # Deferred syncs render whole windows past the last voice.  When every
+    # voice's length was statically known the tracker knows the exact final
+    # sample — trim to it; otherwise fall back to the trailing-silence
+    # heuristic (keep one buffer of padding).
+    end = tracker.known_end
+    if end:
+        mixed = mixed[:min(len(mixed), end)]
+    else:
+        nz = np.nonzero(mixed)[0]
+        if len(nz):
+            mixed = mixed[:min(len(mixed),
+                               int(nz[-1]) + 1 + args.buffer_size)]
     log(f"All waveforms finished ({len(mixed)} samples, "
         f"{len(mixed) / args.sample_rate:.2f}s)")
     if args.render_out:

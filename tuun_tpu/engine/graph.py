@@ -57,7 +57,8 @@ import numpy as np
 
 from .. import ir
 from ..noisegen import noise_jnp
-from .pallas_ops import pallas_available, prefix_max_f32, prefix_sum_f32
+from .pallas_ops import (affine_scan_f32, pallas_available, prefix_max_f32,
+                         prefix_sum_f32)
 
 TAU = math.tau
 BIG = jnp.int32(2 ** 30)
@@ -724,6 +725,15 @@ class CFilter(Node):
             return y, _pad_hist(hist_out, J)
         # Parallel: h_i = A_i h_{i-1} + b_i with companion matrices.
         a_rows = jnp.stack(fb_vals, axis=1)  # [N, J]
+        if self.cfg.pallas:
+            # One-launch Pallas scan: XLA's associative_scan fragments
+            # into ~150 unfused slice/pad kernels per block, which was
+            # measured as the dominant cost of every filtered voice.
+            res = affine_scan_f32(a_rows, ff, live, hist[:J])
+            if res is not None:
+                hs, hist_out = res
+                y = jnp.where(live, hs[:, 0], 0.0)
+                return y, _pad_hist(hist_out, J)
         eye = jnp.eye(J, dtype=f32)
         top = -a_rows[:, None, :]  # [N, 1, J]
         if J > 1:
@@ -1210,6 +1220,9 @@ class CompiledVoice:
         self._base_fixeds = tuple(compiler.fixed_values)
         self._render_jit: Dict[Any, Callable] = {}
         self._arg_cache: Dict[Tuple, Tuple] = {}
+        # State donation (in-place update) for the block-render jits; the
+        # CPU backend doesn't implement donation and warns, so TPU only.
+        self._donate_state = (1,) if (cfg.jit and pallas_available()) else ()
         self._init_jit = jax.jit(self._init_impl) if cfg.jit \
             else self._init_impl
         # Fin cutoffs for the fast path, fetched once per params and
@@ -1247,6 +1260,30 @@ class CompiledVoice:
                 return lits  # unweakrefable P: correct but uncached
             self._lits_cache[key] = lits
         return lits
+
+    def symbolic_len(self, P, lits=None) -> Optional[int]:
+        """Total producible length of the voice when statically
+        resolvable: a relocatable root's reloc length with host-fetched
+        Fin cutoffs composes entirely from Python ints, so it is a
+        trace-time literal.  Returns None when infinite, unresolvable, or
+        not relocatable — callers fall back to the oracle's length()
+        (the reference's generate-and-scan, generator.rs:620-782)."""
+        if not self.relocatable:
+            return None
+        if lits is None:
+            lits = self.lits_for(P)
+        try:
+            _, L = self.root.reloc(P, jnp.zeros(1, jnp.int32), lits)
+        except Exception:
+            return None
+        if L is None:
+            return None  # infinite
+        if not isinstance(L, int):
+            try:
+                L = int(jax.device_get(L))
+            except Exception:
+                return None
+        return None if L >= BIG_LIT else L
 
     # -- params ---------------------------------------------------------
 
@@ -1351,7 +1388,11 @@ class CompiledVoice:
         if fn is None:
             fn = partial(self._render_impl, n, fast, lits)
             if self.cfg.jit:
-                fn = jax.jit(fn)
+                # Donating the state pytree lets XLA update it in place:
+                # without it every block pays one copy kernel per state
+                # leaf (67 entry copies measured on harmonica). TPU only —
+                # CPU warns and ignores donation.
+                fn = jax.jit(fn, donate_argnums=self._donate_state)
             self._render_jit[key] = fn
         return fn
 
@@ -1392,7 +1433,8 @@ class CompiledVoice:
                     partial(self._render_impl, n, fast, lits),
                     in_axes=(0, 0, 0, None))(bp, bs, starts, e)
                 return jnp.sum(y, axis=0), v, st, caps
-            fn = jax.jit(batched) if self.cfg.jit else batched
+            fn = jax.jit(batched, donate_argnums=self._donate_state) \
+                if self.cfg.jit else batched
             self._render_jit[key] = fn
         return fn
 

@@ -105,7 +105,7 @@ def _id(x):
     return x
 
 
-def prefix_sum_f32(x: jnp.ndarray) -> jnp.ndarray:
+def prefix_sum_f32(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """Inclusive prefix sum of a 1-D f32 array in one Pallas kernel."""
     n = x.shape[0]
     if not _supported(n):
@@ -116,11 +116,12 @@ def prefix_sum_f32(x: jnp.ndarray) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(x.astype(jnp.float32).reshape(rows, LANE))
     return out.reshape(n)
 
 
-def prefix_max_f32(x: jnp.ndarray) -> jnp.ndarray:
+def prefix_max_f32(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """Inclusive running max of a 1-D f32 array in one Pallas kernel."""
     n = x.shape[0]
     if not _supported(n):
@@ -131,8 +132,194 @@ def prefix_max_f32(x: jnp.ndarray) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(x.astype(jnp.float32).reshape(rows, LANE))
     return out.reshape(n)
+
+
+# ---------------------------------------------------------------------------
+# Affine scan (IIR feedback) — the whole recurrence in one launch
+# ---------------------------------------------------------------------------
+#
+# y[i] = ff[i] - sum_j a_j[i] * y[i-1-j] is an affine map of the J-deep
+# history vector h: h_i = A_i h_{i-1} + b_i with A_i in companion form.
+# graph.CFilter's fast mode runs this as jax.lax.associative_scan over
+# [N, J, J] matrices, which XLA fragments into ~150 unfused slice/pad
+# kernels per block — measured as THE dominant cost of filtered voices
+# (harmonica: 229 fusions, 17ms/block).  This kernel runs the entire scan
+# in one launch: Kogge-Stone doubling over the lane axis, then the sublane
+# axis, then a sequential grid over row-chunks with the running affine map
+# carried in SMEM scratch (TPU grids execute in order, so the carry is
+# race-free).  Matrix entries live as [rows, LANE] f32 planes; composition
+# (A2 @ A1, A2 @ b1 + b2) is unrolled elementwise VPU arithmetic — no MXU
+# (f32-exact matmuls compile pathologically slowly through Mosaic here).
+
+
+def _identity_entry(j: int, k: int) -> float:
+    return 1.0 if j == k else 0.0
+
+
+def _affine_scan_kernel(a_ref, ff_ref, live_ref, h0_ref, o_ref, carry_ref,
+                        *, rows: int, J: int):
+    """One grid step: scan `rows` rows of the affine recurrence.
+
+    a_ref    f32[J, rows, LANE]   feedback coefficients a_j[i]
+    ff_ref   f32[rows, LANE]      feed-forward drive b[i] (first component)
+    live_ref f32[rows, LANE]      1.0 on live lanes, 0.0 -> identity map
+    h0_ref   f32[1, J]    (SMEM)  initial history [y[-1] ... y[-J]]
+    o_ref    f32[J, rows, LANE]   h planes: o[j][i] = y[i-j]
+    carry_ref f32[J, J+1] (SMEM)  running affine map over all prior tiles
+    """
+    @pl.when(pl.program_id(0) == 0)
+    def _init_carry():
+        for j in range(J):
+            for k in range(J):
+                carry_ref[j, k] = _identity_entry(j, k)
+            carry_ref[j, J] = 0.0
+
+    live = live_ref[:] != 0.0
+    # Companion-form planes; dead lanes carry the identity map so they
+    # pass state through unchanged (matches graph._feedback's masking).
+    A = [[None] * J for _ in range(J)]
+    b = [None] * J
+    zeros = jnp.zeros((rows, LANE), jnp.float32)
+    for k in range(J):
+        A[0][k] = jnp.where(live, -a_ref[k],
+                            _identity_entry(0, k))
+    for j in range(1, J):
+        for k in range(J):
+            A[j][k] = jnp.where(live, _identity_entry(j - 1, k),
+                                _identity_entry(j, k)) + zeros
+    b[0] = jnp.where(live, ff_ref[:], 0.0)
+    for j in range(1, J):
+        b[j] = zeros
+
+    def compose(Ac, bc, Ap, bp):
+        """(cur) after (prev): returns (Ac @ Ap, Ac @ bp + bc)."""
+        nA = [[None] * J for _ in range(J)]
+        nb = [None] * J
+        for j in range(J):
+            accb = bc[j]
+            for m in range(J):
+                accb = accb + Ac[j][m] * bp[m]
+            nb[j] = accb
+            for k in range(J):
+                acc = None
+                for m in range(J):
+                    t = Ac[j][m] * Ap[m][k]
+                    acc = t if acc is None else acc + t
+                nA[j][k] = acc
+        return nA, nb
+
+    def select(cond, X, Y):
+        return jnp.where(cond, X, Y)
+
+    # Within-row inclusive scan: lane-axis doubling.
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+    k = 1
+    while k < LANE:
+        Ap = [[pltpu.roll(A[j][m], k, 1) for m in range(J)]
+              for j in range(J)]
+        bp = [pltpu.roll(b[j], k, 1) for j in range(J)]
+        nA, nb = compose(A, b, Ap, bp)
+        ok = col >= k
+        A = [[select(ok, nA[j][m], A[j][m]) for m in range(J)]
+             for j in range(J)]
+        b = [select(ok, nb[j], b[j]) for j in range(J)]
+        k *= 2
+
+    # Exclusive row carry: sublane-axis doubling over row totals.
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0)
+    tot_A = [[jnp.broadcast_to(A[j][m][:, LANE - 1:LANE], (rows, LANE))
+              for m in range(J)] for j in range(J)]
+    tot_b = [jnp.broadcast_to(b[j][:, LANE - 1:LANE], (rows, LANE))
+             for j in range(J)]
+    car_A = [[jnp.full((rows, LANE), _identity_entry(j, m), jnp.float32)
+              for m in range(J)] for j in range(J)]
+    car_b = [jnp.zeros((rows, LANE), jnp.float32) for _ in range(J)]
+    k = 1
+    while k < rows:
+        ok = rowi >= k
+        Ap = [[select(ok, pltpu.roll(tot_A[j][m], k, 0),
+                      _identity_entry(j, m)) for m in range(J)]
+              for j in range(J)]
+        bp = [select(ok, pltpu.roll(tot_b[j], k, 0), 0.0)
+              for j in range(J)]
+        car_A, car_b = compose(car_A, car_b, Ap, bp)
+        tot_A, tot_b = compose(tot_A, tot_b, Ap, bp)
+        k *= 2
+
+    # Fold the inter-tile carry (scalars from SMEM) under the row carry.
+    c_A = [[carry_ref[j, m] for m in range(J)] for j in range(J)]
+    c_b = [carry_ref[j, J] for j in range(J)]
+    prev_A, prev_b = compose(car_A, car_b, c_A, c_b)
+    # Full per-lane map = within-row map after the row/tile prefix.
+    A, b = compose(A, b, prev_A, prev_b)
+
+    # Apply to the initial history and emit all J components.
+    for j in range(J):
+        acc = b[j]
+        for m in range(J):
+            acc = acc + A[j][m] * h0_ref[0, m]
+        o_ref[j] = acc
+
+    # New inter-tile carry: the full map at the tile's last element.
+    for j in range(J):
+        for m in range(J):
+            carry_ref[j, m] = A[j][m][rows - 1, LANE - 1]
+        carry_ref[j, J] = b[j][rows - 1, LANE - 1]
+
+
+# Rows per sequential grid step: bounds VMEM to (J^2+J+3) planes of
+# [CHUNK, LANE] while keeping each step big enough to fill the VPU.
+AFFINE_CHUNK = 256
+
+
+def affine_scan_f32(a_rows: jnp.ndarray, ff: jnp.ndarray,
+                    live: jnp.ndarray, h0: jnp.ndarray,
+                    interpret: bool = False):
+    """Scans y[i] = ff[i] - sum_j a_rows[i, j] * y[i-1-j] in one launch.
+
+    a_rows f32[N, J]; ff f32[N]; live bool[N] (dead lanes pass history
+    through unchanged); h0 f32[J] = [y[-1] ... y[-J]].
+    Returns (h f32[N, J] with h[i, j] = y[i-j], hist f32[J] = final
+    history [y[N-1] ... y[N-J]]), or None when the shape is unsupported
+    (caller falls back to jax.lax.associative_scan).
+    """
+    n, J = a_rows.shape
+    if n % LANE != 0 or J < 1 or J > 4:
+        return None
+    rows = n // LANE
+    chunk = min(rows, AFFINE_CHUNK)
+    if rows % chunk != 0:
+        return None
+    a_planes = a_rows.T.reshape(J, rows, LANE).astype(jnp.float32)
+    ff2 = ff.reshape(rows, LANE).astype(jnp.float32)
+    live2 = live.reshape(rows, LANE).astype(jnp.float32)
+    h0_2d = h0.reshape(1, J).astype(jnp.float32)
+    grid = (rows // chunk,)
+    out = pl.pallas_call(
+        functools.partial(_affine_scan_kernel, rows=chunk, J=J),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((J, chunk, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((J, chunk, LANE), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((J, rows, LANE), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((J, J + 1), jnp.float32)],
+        interpret=interpret,
+    )(a_planes, ff2, live2, h0_2d)
+    h = out.reshape(J, n).T  # [N, J]
+    hist = out[:, rows - 1, LANE - 1]  # [J] final history
+    return h, hist
 
 
 def pallas_available() -> bool:

@@ -36,6 +36,11 @@ from .engine import CompiledVoice, EngineConfig, structure_key
 from .wav import write_wav_f32
 
 MARK_LENGTH_CAP_SECONDS = 10  # tracker.rs process_marked's 10 * sample_rate
+# Exact-retirement length probe cap: finite voices up to this long retire at
+# their known end sample instead of waiting for a lazy valid-end fetch.  The
+# native oracle resolves symbolic lengths in O(tree); only a value-path Fin
+# (dynamic length) pays a generate pass bounded by this cap.
+RETIRE_LENGTH_CAP_SECONDS = 120
 
 
 @dataclass
@@ -75,6 +80,20 @@ def _subtree_length(node: ir.Waveform, sample_rate: int, cap: int) -> int:
         pass
     o = oracle.Oracle(sample_rate)
     return o.length(oracle.initialize(node), cap)
+
+
+def _voice_total_length(w: ir.Waveform, sample_rate: int) -> Optional[int]:
+    """Exact producible length of a fresh voice, or None when infinite,
+    longer than the retirement cap, or not computable without rendering."""
+    cap = RETIRE_LENGTH_CAP_SECONDS * sample_rate
+    try:
+        from . import native
+        if not native.native_available():
+            return None
+        ln = native.NativeOracle(w, sample_rate).length(cap)
+    except Exception:
+        return None
+    return None if ln >= cap else int(ln)
 
 
 def collect_marks(w: ir.Waveform, sample_rate: int, waveform_id,
@@ -211,6 +230,10 @@ class Voice:
     fast: bool = False
     # Host-fetched Fin cutoffs (literal mask thresholds) for the fast path.
     lits: Optional[tuple] = None
+    # Exact total length in samples when known (symbolic/oracle-resolved):
+    # the voice retires at start + total_len without a device round trip.
+    # None = unknown/infinite -> lazy valid-end detection.
+    total_len: Optional[int] = None
     # Deferred-sync queues: (valid_end, e) device scalars and capture dicts
     # awaiting resolution at the next sync point.
     _pending_v: List = field(default_factory=list)
@@ -321,7 +344,8 @@ class VoiceGroup:
                 return jnp.sum(y * wts[:, None], axis=0), v, st, caps
 
             fn = jax.jit(batched, out_shardings=(
-                NamedSharding(mesh, PartitionSpec("time")), vsh, None, None))
+                NamedSharding(mesh, PartitionSpec("time")), vsh, None, None),
+                donate_argnums=self.compiled._donate_state)
             self.compiled._render_jit[key] = fn
         return fn
 
@@ -372,6 +396,17 @@ class Tracker:
         # over the mesh's "voice" axis (multi-chip polyphony; see
         # tuun_tpu.parallel for the one-shot API).
         self.mesh = mesh
+        # Exact-end bookkeeping: while every activated voice had a known
+        # total length, known_end is the last sample any voice produces
+        # (a Modify or an unknown-length voice drops to None).
+        self._ends_known = True
+        self._last_end = 0
+
+    @property
+    def known_end(self) -> Optional[int]:
+        """The exact final sample of everything played so far, when every
+        voice's length was statically known; None otherwise."""
+        return self._last_end if self._ends_known else None
 
     # -- commands ------------------------------------------------------
 
@@ -417,6 +452,12 @@ class Tracker:
                 voice.params = params
                 voice.marks = collect_marks(new_w, self.sample_rate,
                                             voice.id, voice.start)
+                # A spliced subtree starts fresh mid-stream, so the
+                # voice's length can no longer be read off the IR from
+                # sample 0 (e.g. a stop ramp shortens it): drop to lazy
+                # valid-end detection.
+                voice.total_len = None
+                self._ends_known = False
         for p in self.pending:
             if p.id == wid:
                 p.waveform = ir.substitute(p.waveform, mark_id, new_waveform)
@@ -447,6 +488,25 @@ class Tracker:
                       list(p.marks), fast=compiled.fast_default,
                       lits=(compiled.lits_for(params)
                             if compiled.fast_default else None))
+        # Exact retirement: resolve the voice's total length up front —
+        # trace-time literal for relocatable structures, oracle length()
+        # otherwise (the reference's symbolic root / generate-and-scan,
+        # generator.rs:787-862).
+        total = None
+        if compiled.relocatable:
+            try:
+                total = compiled.symbolic_len(
+                    params, voice.lits if voice.lits is not None
+                    else compiled.lits_for(params))
+            except Exception:
+                total = None
+        if total is None:
+            total = _voice_total_length(p.waveform, self.sample_rate)
+        voice.total_len = total
+        if total is None:
+            self._ends_known = False
+        else:
+            self._last_end = max(self._last_end, p.start + total)
         delta = block_start - p.start
         if delta > 0:
             # Late start: catch up by rendering and discarding
@@ -532,6 +592,12 @@ class Tracker:
             y_sum, v_arr, caps = group.render(n, starts, n)
             group._pending.append((v_arr, caps))
             acc = y_sum if acc is None else acc + y_sum
+        # Exact retirement: voices with a known total length finish the
+        # moment their final block has been rendered — no device fetch.
+        for voice in self.active:
+            if voice.total_len is not None and \
+                    voice.start + voice.total_len <= block_end:
+                voice.finished = True
         self.now = block_end
         self._since_sync += 1
         if not defer:
@@ -648,6 +714,13 @@ class Tracker:
             while queue and (len(queue) > 32 or _staged_ready(queue[0])):
                 self._resolve_staged(queue.pop(0))
         finished = [v for v in self.active if v.finished]
+        if finished and queue:
+            # A voice can finish (exact retirement) while windows holding
+            # its capture slices are still in flight: resolve everything
+            # before closing, or the capture WAVs would lose their tails.
+            for st in queue:
+                self._resolve_staged(st)
+            queue.clear()
         if finished:
             for group in self._groups:
                 if any(v.finished for v in group.voices):
