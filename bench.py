@@ -31,7 +31,11 @@ from tuun_tpu.expr import ESeq, EWaveform  # noqa: E402
 
 SAMPLE_RATE = 44100
 REALTIME_BASE = 48000.0
-GLOBAL_BLOCK = BLOCK = 1 << 17
+# Per-dispatch cost through the device link is ~2-3 ms regardless of the
+# kernel content (measured: marks/filters/harmonica all converge to the
+# same ms/block floor) — offline throughput is dispatch-bound, so blocks
+# are as large as memory comfortably allows.
+GLOBAL_BLOCK = BLOCK = 1 << 20
 STDLIB = HERE / "tuun_tpu" / "stdlib" / "v0"
 
 T = ir.Time()
@@ -86,42 +90,56 @@ def workloads():
     return ws
 
 
-# Per-workload block sizes: an offline renderer picks its own block size.
-# large_440 is a single heavy voice that scales with block (2x at 512k);
-# the marks chain prefers the default (bigger blocks activate more chain
-# segments per block).
-WORKLOAD_BLOCKS = {"large_440": 1 << 19}
+# Finite workloads loop the whole piece (state re-init per pass) and
+# count only its real samples — timing blocks past a finished voice
+# would measure zero-rendering.
+WORKLOAD_AUDIO_SECONDS = {"marks_4_40": 80.0, "poly_16": 80.0}
+WORKLOAD_BLOCKS = {}
 
 
-def bench_one(name, w, seconds=5.0, warmup_blocks=2):
+def bench_one(name, w, seconds=8.0, warmup_blocks=2):
     BLOCK = WORKLOAD_BLOCKS.get(name, GLOBAL_BLOCK)
     cfg = EngineConfig(SAMPLE_RATE, precision="fast", jit=True)
     voice = CompiledVoice(w, cfg)
     P = voice.params()
-    state0 = voice.init(P)
     fn = voice.render_fn(BLOCK, P=P)
     s = jax.numpy.int32(0)
-    e = jax.numpy.int32(BLOCK)
-    # Warmup/compile
-    state = state0
-    for _ in range(warmup_blocks):
-        y, v, state, _ = fn(P, state, s, e)
-    jax.block_until_ready((y, state))
-    # Timed steady-state rendering. Pipeline plenty of blocks: the final
-    # block_until_ready pays one host<->device round trip (~30ms through
-    # the axon tunnel), which must amortize over the run like it does in
-    # the streaming tracker.
-    n_blocks = max(40, int(seconds * SAMPLE_RATE / BLOCK))
+    audio = WORKLOAD_AUDIO_SECONDS.get(name)
+    if audio is None:
+        sizes = [BLOCK]  # infinite stream: full blocks only
+    else:
+        left = int(audio * SAMPLE_RATE)
+        sizes = []
+        while left > 0:
+            sizes.append(min(BLOCK, left))
+            left -= sizes[-1]
+    ends = {m: jax.numpy.int32(m) for m in set(sizes)}
+    # Warmup/compile (all block-end variants).
     state = voice.init(P)
+    for _ in range(warmup_blocks):
+        for m in ends:
+            y, v, state, _ = fn(P, state, s, ends[m])
+    jax.block_until_ready((y, state))
+    # Timed rendering: pipeline whole passes over the piece, one sync at
+    # the end (the ~30ms link round trip amortizes like in the streaming
+    # tracker). Each pass re-inits state (a pipelined device op).
+    per_pass = sum(sizes)
+    # Enough pipelined dispatches to amortize the single ~30ms sync.
+    passes = max(1, -(-32 // len(sizes)))
+    if audio is None:
+        passes = 1
+        sizes = sizes * max(32, int(seconds * SAMPLE_RATE / BLOCK))
+        per_pass = sum(sizes)
     t0 = time.perf_counter()
     total = 0
-    for _ in range(n_blocks):
-        y, v, state, _ = fn(P, state, s, e)
-        total += BLOCK
+    for _ in range(passes):
+        state = voice.init(P)
+        for m in sizes:
+            y, v, state, _ = fn(P, state, s, ends[m])
+        total += per_pass
     jax.block_until_ready((y, state))
     dt = time.perf_counter() - t0
-    sps = total / dt
-    return sps
+    return total / dt
 
 
 def bench_polyphony(n_voices=256, seconds=4.0, block=1 << 14):
@@ -170,11 +188,13 @@ WORKLOAD_NAMES = ["filter_1_1", "filter_1_1_linear", "filter_4_3",
                   "large_440", "marks_4_40", "poly_16"]
 
 
-def bench_instrument(expr="harmonica(10.0, 440)", seconds=3.0,
-                     block=1 << 19):
+def bench_instrument(expr="harmonica(10.0, 440)", seconds=8.0,
+                     block=1 << 19, audio_seconds=10.33):
     """Informational: a stateful-reset instrument voice (the hardest
     single-voice class: Reset over a filtered noise inner). Not part of
-    the headline geomean — it has no tracker_benches.rs counterpart."""
+    the headline geomean — it has no tracker_benches.rs counterpart.
+    Loops the whole finite note (state re-init per pass) and counts only
+    its real samples."""
     import jax.numpy as jnp
     ev = Evaluator(48000, 120, STDLIB)
     out = ev.evaluate_source(expr, opens=("std",))
@@ -185,18 +205,28 @@ def bench_instrument(expr="harmonica(10.0, 440)", seconds=3.0,
     voice = CompiledVoice(w, cfg)
     P = voice.params()
     fn = voice.render_fn(block, P=P)
-    s, e = jnp.int32(0), jnp.int32(block)
+    s = jnp.int32(0)
+    left = int(audio_seconds * 48000)
+    sizes = []
+    while left > 0:
+        sizes.append(min(block, left))
+        left -= sizes[-1]
+    ends = {m: jnp.int32(m) for m in set(sizes)}
     state = voice.init(P)
-    y, v, state, _ = fn(P, state, s, e)
+    for m in ends:
+        y, v, state, _ = fn(P, state, s, ends[m])
     jax.block_until_ready((y, state))
-    state = voice.init(P)
-    n_blocks = max(10, int(seconds * 48000 // block))
+    per_pass = sum(sizes)
+    # Enough pipelined dispatches to amortize the single ~30ms sync.
+    passes = max(2, -(-32 // len(sizes)))
     t0 = time.perf_counter()
-    for _ in range(n_blocks):
-        y, v, state, _ = fn(P, state, s, e)
+    for _ in range(passes):
+        state = voice.init(P)
+        for m in sizes:
+            y, v, state, _ = fn(P, state, s, ends[m])
     jax.block_until_ready((y, state))
     dt = time.perf_counter() - t0
-    sps = n_blocks * block / dt
+    sps = passes * per_pass / dt
     print(f"# instrument_harmonica: {sps / 1e6:.1f} Msamples/s "
           f"({sps / REALTIME_BASE:.0f}x realtime@48k, informational)",
           file=sys.stderr)

@@ -12,17 +12,26 @@ from tuun_tpu.engine.precompute import precompute
 from tuun_tpu.evaluator import Evaluator
 from tuun_tpu.tools.web_checker import check_files
 
-REFERENCE_DOCS = Path("/root/reference/docs")
+REFERENCE = Path("/root/reference")
+REFERENCE_DOCS = REFERENCE / "docs"
 STDLIB = Path(__file__).resolve().parent.parent / "tuun_tpu" / "stdlib" / "v0"
 
 
 @pytest.mark.skipif(not REFERENCE_DOCS.is_dir(),
                     reason="reference docs not available")
 def test_reference_docs_corpus():
-    files = sorted(REFERENCE_DOCS.glob("*.md"))
+    # Same corpus the reference's check-web-examples.sh gates on: every
+    # <tuun-synth> example in docs (md + html) and the web demo page.
+    files = sorted(REFERENCE_DOCS.glob("**/*.md"))
+    files += sorted(REFERENCE_DOCS.glob("**/*.html"))
+    files += sorted((REFERENCE / "web").glob("*.html"))
     report = check_files(files)
     assert not report.failed, report.failed
-    assert len(report.ok) >= 30
+    # 34 md examples + 5 in docs/tuun/index.html + 5 in web/index.html
+    # minus one expression-less demo block (a skip, like the reference's
+    # checker treats it).
+    assert len(report.ok) + len(report.skipped) >= 44
+    assert len(report.ok) >= 43
 
 
 def test_precompute_bakes_finite_subtrees():

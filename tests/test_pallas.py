@@ -33,6 +33,21 @@ def test_prefix_sum_multi_row_carry():
                                rtol=1e-5, atol=1e-4)
 
 
+def test_prefix_kernels_multi_chunk_grid_carry(monkeypatch):
+    # Large blocks scan as a sequential grid with the running total in
+    # SMEM scratch (one whole-array VMEM block OOMs at 2^20 lanes); force
+    # a tiny chunk so interpret mode exercises the tile carry quickly.
+    import tuun_tpu.engine.pallas_ops as po
+    monkeypatch.setattr(po, "PREFIX_CHUNK", 2)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(8 * LANE).astype(np.float32)
+    out = np.asarray(po.prefix_sum_f32(jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(out, np.cumsum(x.astype(np.float64)),
+                               rtol=1e-5, atol=1e-4)
+    outm = np.asarray(po.prefix_max_f32(jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(outm, np.maximum.accumulate(x))
+
+
 def test_prefix_sum_unsupported_size_falls_back():
     # Not a multiple of 128: must fall back to associative_scan (no
     # interpret needed — it never reaches pallas_call).

@@ -65,3 +65,52 @@ def test_tracker_with_mesh_matches_meshless():
     np.testing.assert_allclose(np.asarray(got[:n]), np.asarray(ref[:n]),
                                atol=1e-5)
     assert np.all(np.asarray(ref[n:]) == 0) and np.all(np.asarray(got[n:]) == 0)
+
+
+def reloc_note(freq):
+    # Relocatable: NCO sine under a symbolic Fin — a pure function of the
+    # absolute sample index (no filter/reset state).
+    return ir.BinaryPointOp(
+        ir.Operator.MULTIPLY,
+        note(freq),
+        ir.Fin(ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(),
+                                ir.Const(2.0)), ir.Const(0.5)))
+
+
+@needs_devices
+def test_lane_sharded_render_matches_voice_only():
+    """On a (4, 2) mesh the relocatable path genuinely splits each block's
+    lanes over the time axis; output must equal the voice-axis-only
+    stateful path and the meshless sum."""
+    voices = [reloc_note(0.5 + 0.3 * i) for i in range(5)]
+    n, sr = 48, 8
+    mesh = default_mesh(8)
+    assert mesh.shape["time"] == 2
+    lane = render_voices_meshed(voices, n, sr, mesh=mesh, block=16)
+    stateful = render_voices_meshed(voices, n, sr, mesh=mesh, block=16,
+                                    lane_shard=False)
+    ref = sum(engine.render(w, n, sr, precision="fast", seed=i, block=16,
+                            jit=True)
+              for i, w in enumerate(voices))
+    np.testing.assert_allclose(lane, stateful, atol=1e-5)
+    np.testing.assert_allclose(lane, ref, atol=1e-5)
+
+
+@needs_devices
+def test_lane_sharded_output_is_time_sharded():
+    """The lane-sharded step's device output is genuinely partitioned
+    over the time axis (each device holds block/T lanes), not a
+    full-width compute with a relayout."""
+    from tuun_tpu.engine.graph import CompiledVoice, EngineConfig
+    from tuun_tpu.parallel import _render_reloc_lane_sharded
+
+    mesh = default_mesh(8)
+    w = reloc_note(0.7)
+    cfg = EngineConfig(8, precision="fast", jit=True, use_pallas=False,
+                       timeline=False)
+    voice = CompiledVoice(w, cfg)
+    assert voice.relocatable
+    out = _render_reloc_lane_sharded(voice, [voice.params()], 16, mesh, 16)
+    assert out.shape == (16,)
+    ref = engine.render(w, 16, 8, precision="fast", jit=True, block=16)
+    np.testing.assert_allclose(out, ref, atol=1e-5)

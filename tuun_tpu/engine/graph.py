@@ -128,6 +128,10 @@ class EngineConfig:
     seed: int = 0
     jit: bool = True  # False: eager execution (fast small-scale testing)
     use_pallas: Optional[bool] = None  # None: auto (fast mode on TPU)
+    # Compile large Merge/Append trees to timeline form (see
+    # engine/timeline.py). Off: plain tree compile — needed for contexts
+    # without literal lits (mesh sharding, post-Modify state carry).
+    timeline: bool = True
     # Opt-in: render relocatable voices via root.reloc (a single pure
     # function of the absolute index) instead of the interval machinery.
     # Measured on v5e via axon: the resulting single giant fusion
@@ -170,7 +174,7 @@ jax.tree_util.register_pytree_node(
 class Ctx:
     """Per-trace context for one block render."""
 
-    def __init__(self, n: int, allow_captures: bool = True):
+    def __init__(self, n: int, allow_captures: bool = True, lits=None):
         self.n = n
         self.idx = jnp.arange(n, dtype=jnp.int32)
         # f32 lane indices for cross-lane reductions/scans: int32 reduce/scan
@@ -180,6 +184,9 @@ class Ctx:
         # stem -> (samples[N], start, end) accumulated during the trace
         self.captures: Dict[str, Tuple] = {}
         self.allow_captures = allow_captures
+        # Host-fetched literal Fin cutoffs, when the caller has them:
+        # timeline nodes build their literal schedules from these.
+        self.lits = lits
 
 
 def _mask(ctx: Ctx, s, e):
@@ -1038,6 +1045,9 @@ class Compiler:
         # are fetched to the host once per (structure, params) and traced
         # as literal mask thresholds (see the length-algebra notes above).
         self.fins: List["CFin"] = []
+        # Set when a Merge subtree compiled to timeline form (the literal
+        # lits schedule applies to the stateful path too).
+        self.has_timeline = False
 
     def _const_index(self, value: float) -> int:
         self.const_values.append(np.float32(value))
@@ -1091,6 +1101,15 @@ class Compiler:
                          for n, c in zip(fbs, w.feedback)]
             return CFilter(cfg, inner, ffs, fbs, ff_consts, fb_consts)
         if isinstance(w, ir.BinaryPointOp):
+            if w.op == ir.Operator.MERGE:
+                # Large Merge/Append trees (sequences, chords, scores)
+                # compile to timeline form: leaves with literal start
+                # offsets, same-structure leaves batched — O(structure)
+                # per block instead of O(segments).
+                from .timeline import try_compile_timeline
+                node = try_compile_timeline(self, w, path)
+                if node is not None:
+                    return node
             return CBinary(cfg, w.op, self.compile(w.a, path + (0,)),
                            self.compile(w.b, path + (1,)))
         if isinstance(w, ir.Reset):
@@ -1229,8 +1248,9 @@ class CompiledVoice:
         # traced as literal mask thresholds (traced thresholds de-
         # vectorize the whole fusion — see the length-algebra notes).
         self._fins = compiler.fins
+        self._has_timeline = compiler.has_timeline
         self._lens_fn = None
-        if self.relocatable and self._fins:
+        if self._fins and (self.relocatable or self._has_timeline):
             def lens(P):
                 return jnp.stack([f.ge0(P, jnp.int32(0), BIG)
                                   for f in self._fins])
@@ -1341,7 +1361,7 @@ class CompiledVoice:
     # -- rendering ------------------------------------------------------
 
     def _render_impl(self, n, fast, lits, P, state, s, e):
-        ctx = Ctx(n)
+        ctx = Ctx(n, lits=lits)
         pos, rst = state
         adv = jnp.maximum(e - s, 0)
         if fast:
@@ -1363,12 +1383,23 @@ class CompiledVoice:
 
     def _resolve_fast(self, fast, P, lits):
         """(fast, lits) normalization: the fast path needs host-fetched
-        Fin cutoffs; fetch them from P when the caller didn't supply any."""
+        Fin cutoffs; fetch them from P when the caller didn't supply any.
+
+        Timeline-bearing structures want lits on the stateful path too
+        (literal schedules) — auto-fetched only on `fast=None` default
+        calls, so the tracker's explicit `lits=None` after a Modify
+        forces the state-carrying fallback path."""
+        auto = fast is None
         if fast is None:
             fast = self.fast_default
         fast = bool(fast) and self.relocatable
         if not fast:
-            return False, None
+            if self._has_timeline and auto and lits is None \
+                    and P is not None:
+                lits = self.lits_for(P)
+            elif not self._has_timeline:
+                lits = None
+            return False, lits
         if lits is None and P is not None:
             lits = self.lits_for(P)
         return True, lits  # lits None: traced-cutoff fallback (correct,

@@ -45,12 +45,18 @@ def _tri_exclusive(n: int):
     return (row < col).astype(jnp.float32)
 
 
-def _prefix_sum_kernel(x_ref, o_ref, *, rows: int):
+def _prefix_sum_kernel(x_ref, o_ref, carry_ref, *, rows: int):
     """Hillis-Steele doubling on both axes, all VPU passes on VMEM.
 
-    (An MXU triangular-matmul formulation is mathematically neater but
-    f32-exact matmuls compile ~400x slower through Mosaic here.)
+    One grid step scans `rows` rows; the running total over prior tiles
+    rides in SMEM scratch (TPU grids execute in order, so the carry is
+    race-free).  (An MXU triangular-matmul formulation is mathematically
+    neater but f32-exact matmuls compile ~400x slower through Mosaic.)
     """
+    @pl.when(pl.program_id(0) == 0)
+    def _init_carry():
+        carry_ref[0] = 0.0
+
     y1 = x_ref[:]  # [rows, LANE]
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
     k = 1
@@ -69,10 +75,16 @@ def _prefix_sum_kernel(x_ref, o_ref, *, rows: int):
         carry = carry + contrib
         m = m + contrib
         k *= 2
-    o_ref[:] = y1 + carry
+    total = y1 + carry + carry_ref[0]
+    o_ref[:] = total
+    carry_ref[0] = total[rows - 1, LANE - 1]
 
 
-def _prefix_max_kernel(x_ref, o_ref, *, rows: int):
+def _prefix_max_kernel(x_ref, o_ref, carry_ref, *, rows: int):
+    @pl.when(pl.program_id(0) == 0)
+    def _init_carry():
+        carry_ref[0] = NEG_BIG
+
     x = x_ref[:]  # [rows, LANE]
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
     # Within-row running max: log-shift along lanes.
@@ -93,7 +105,9 @@ def _prefix_max_kernel(x_ref, o_ref, *, rows: int):
         carry = jnp.maximum(carry, contrib)
         m = jnp.maximum(m, contrib)
         k *= 2
-    o_ref[:] = jnp.maximum(x, carry)
+    total = jnp.maximum(jnp.maximum(x, carry), carry_ref[0])
+    o_ref[:] = total
+    carry_ref[0] = total[rows - 1, LANE - 1]
 
 
 def _supported(n: int) -> bool:
@@ -105,36 +119,44 @@ def _id(x):
     return x
 
 
-def prefix_sum_f32(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """Inclusive prefix sum of a 1-D f32 array in one Pallas kernel."""
+# Rows per sequential grid step: bounds VMEM to a handful of [CHUNK,
+# LANE] planes (a single whole-array block OOMs scoped VMEM at 2^20
+# lanes) while keeping each step big enough to fill the VPU.
+PREFIX_CHUNK = 1024
+
+
+def _prefix_call(kernel, x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    import math
+
     n = x.shape[0]
-    if not _supported(n):
-        return jax.lax.associative_scan(jnp.add, x)
     rows = n // LANE
+    chunk = math.gcd(rows, PREFIX_CHUNK)
     out = pl.pallas_call(
-        functools.partial(_prefix_sum_kernel, rows=rows),
+        functools.partial(kernel, rows=chunk),
+        grid=(rows // chunk,),
+        in_specs=[pl.BlockSpec((chunk, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((chunk, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
         interpret=interpret,
     )(x.astype(jnp.float32).reshape(rows, LANE))
     return out.reshape(n)
+
+
+def prefix_sum_f32(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Inclusive prefix sum of a 1-D f32 array in one Pallas kernel."""
+    if not _supported(x.shape[0]):
+        return jax.lax.associative_scan(jnp.add, x)
+    return _prefix_call(_prefix_sum_kernel, x, interpret)
 
 
 def prefix_max_f32(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """Inclusive running max of a 1-D f32 array in one Pallas kernel."""
-    n = x.shape[0]
-    if not _supported(n):
+    if not _supported(x.shape[0]):
         return jax.lax.associative_scan(jnp.maximum, x)
-    rows = n // LANE
-    out = pl.pallas_call(
-        functools.partial(_prefix_max_kernel, rows=rows),
-        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x.astype(jnp.float32).reshape(rows, LANE))
-    return out.reshape(n)
+    return _prefix_call(_prefix_max_kernel, x, interpret)
 
 
 # ---------------------------------------------------------------------------

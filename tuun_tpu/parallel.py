@@ -40,16 +40,91 @@ def default_mesh(n_devices: Optional[int] = None):
     return Mesh(devices.reshape(n, 1), ("voice", "time"))
 
 
+def _render_reloc_lane_sharded(voice, params, n_samples: int, mesh,
+                               block: int) -> np.ndarray:
+    """Lane-sharded render of relocatable voices: shard_map over the full
+    (voice, time) mesh.  Each time shard evaluates the voice's reloc (a
+    pure function of the absolute sample index) at its OWN lane window —
+    the audio analogue of sequence parallelism (SURVEY §5's
+    sequence-chunking) — while each voice shard holds a slice of the
+    voice batch; the mix reduces over the voice axis with a psum.
+
+    This genuinely splits the per-voice lane computation: a 4x2 mesh
+    computes block/2 lanes per device, unlike a sharding *constraint* on
+    the mixed output (which only re-lays-out data after a full-width
+    compute)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    shard_map = jax.shard_map
+
+    tsize = mesh.shape["time"]
+    vsize = mesh.shape["voice"]
+    block = max(block - block % tsize, tsize)
+    n_loc = block // tsize
+
+    V = len(params)
+    pad = (-V) % vsize
+    weights = jnp.asarray([1.0] * V + [0.0] * pad, jnp.float32)
+    params = params + [params[0]] * pad
+    bp = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params)
+    vspec = PartitionSpec("voice")
+    bp = jax.device_put(bp, jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, vspec), bp))
+    weights = jax.device_put(weights, NamedSharding(mesh, vspec))
+
+    def shard_fn(bp_loc, w_loc, s):
+        k = jax.lax.axis_index("time")
+        li = s + k * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+        y = jax.vmap(lambda p: voice.root.reloc(p, li, None)[0])(bp_loc)
+        mix = jnp.sum(y * w_loc[:, None], axis=0)
+        return jax.lax.psum(mix, "voice")
+
+    step = jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(vspec, vspec, PartitionSpec()),
+        out_specs=PartitionSpec("time")))
+
+    # Total length: the reloc length (traced cutoffs) per voice, reduced
+    # once on device; None from any component means infinite.
+    def length_of(p):
+        _, L = voice.root.reloc(p, jnp.zeros(1, jnp.int32), None)
+        return None if L is None else jnp.asarray(L, jnp.int32)
+    lens = [length_of(p) for p in params[:V]]
+    if any(ln is None for ln in lens):
+        total = n_samples
+    else:
+        total = min(n_samples, int(jax.jit(
+            lambda ps: jnp.max(jnp.stack([length_of(p) for p in ps])))(
+                params[:V])))
+
+    out: List[np.ndarray] = []
+    done = 0
+    while done < total:
+        mix = step(bp, weights, jnp.int32(done))
+        take = min(block, total - done)
+        out.append(np.asarray(mix[:take], np.float32))
+        done += take
+    return np.concatenate(out) if out else np.zeros(0, np.float32)
+
+
 def render_voices_meshed(waveforms: Sequence[ir.Waveform], n_samples: int,
                          sample_rate: int, *, mesh=None,
                          precision: str = "fast", block: int = 8192,
-                         seed: int = 0) -> np.ndarray:
+                         seed: int = 0,
+                         lane_shard: Optional[bool] = None) -> np.ndarray:
     """Renders a batch of same-structure voices data-parallel over a
     device mesh and returns the mixed output (valid prefix).
 
     All waveforms must share a compiled structure (same shape, different
     Const values) — the tracker's VoiceGroup condition; use one call per
-    structure group otherwise."""
+    structure group otherwise.
+
+    Relocatable structures (pure functions of the absolute sample index)
+    render lane-sharded over the mesh's "time" axis as well (see
+    _render_reloc_lane_sharded); `lane_shard=False` forces the
+    voice-axis-only stateful path."""
     import jax
     import jax.numpy as jnp
 
@@ -62,12 +137,19 @@ def render_voices_meshed(waveforms: Sequence[ir.Waveform], n_samples: int,
         mesh = default_mesh()
 
     # Pallas kernels don't partition under mesh sharding; the XLA scan
-    # fallbacks do.
+    # fallbacks do. Timeline schedules are per-voice literals, which a
+    # shared vmapped executable can't hold — plain tree compile.
     cfg = EngineConfig(sample_rate, precision=precision, jit=True,
-                       use_pallas=False)
+                       use_pallas=False, timeline=False)
     voice = CompiledVoice(waveforms[0], cfg)
     params = [voice.params_for(w, seed=seed + i)
               for i, w in enumerate(waveforms)]
+    if lane_shard is None:
+        lane_shard = voice.relocatable and mesh.shape["time"] > 1
+    if lane_shard:
+        assert voice.relocatable, "lane sharding needs a relocatable voice"
+        return _render_reloc_lane_sharded(voice, params, n_samples, mesh,
+                                          block)
     # Pad the voice axis to a multiple of the mesh's voice-axis size
     # (sharding needs even splits). Padding repeats voice 0 and masks its
     # contribution out of the mix with a zero weight.

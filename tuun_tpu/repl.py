@@ -45,7 +45,7 @@ class Repl:
         self.evaluator = Evaluator(sample_rate, tempo,
                                    library_root or DEFAULT_LIBRARY)
         self.tracker = Tracker(sample_rate, buffer_size,
-                               precision=precision, jit=jit)
+                               precision=precision, jit=jit, levels=True)
         self.player = Player(self.tracker, tempo, beats_per_measure)
         self.programs: Optional[ProgramSet] = None
         self.keys_program: Optional[int] = None
@@ -336,8 +336,16 @@ class Repl:
     def cmd_status(self):
         self.log(f"now = {self.tracker.now} samples "
                  f"({self.tracker.now / self.tracker.sample_rate:.2f}s)")
-        self.log(f"active: {[str(v.id) for v in self.tracker.active]}")
+        for v in self.tracker.active:
+            self.log(f"active: {v.id}  rms {v.level_rms:.4f}  "
+                     f"peak {v.level_peak:.4f}")
         self.log(f"pending: {[str(p.id) for p in self.tracker.pending]}")
+        load = [x for x in self.tracker.load_metric.series() if x is not None]
+        disp = [x for x in self.tracker.dispatch_metric.series()
+                if x is not None]
+        if load and disp:
+            self.log(f"load avg {sum(load) / len(load):.4f}  "
+                     f"dispatches/block avg {sum(disp) / len(disp):.1f}")
 
     def cmd_quit(self):
         self.running = False

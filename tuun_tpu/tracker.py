@@ -58,6 +58,12 @@ class Status:
     buffer: Optional[np.ndarray] = None
     tracker_load: Optional[float] = None
     voices: int = 0
+    # Engine-efficiency proxy (the reference's allocations_per_sample
+    # analogue, tracker.rs:342-345): jitted dispatches issued this block.
+    dispatches: int = 0
+    # Per-voice output levels (rms, peak), resolved lazily at sync points
+    # when the tracker was built with levels=True.
+    voice_levels: Dict[Any, Tuple[float, float]] = field(default_factory=dict)
 
     def has_pending_mark(self, when: int, wid, mark) -> bool:
         return any(m.waveform_id == wid and m.mark_id == mark and
@@ -141,7 +147,8 @@ class _CompileCache:
         self._cache: Dict[Tuple, CompiledVoice] = {}
 
     def get(self, w: ir.Waveform, cfg: EngineConfig) -> CompiledVoice:
-        key = (structure_key(w), cfg.sample_rate, cfg.precision, cfg.jit)
+        key = (structure_key(w), cfg.sample_rate, cfg.precision, cfg.jit,
+               cfg.timeline)
         voice = self._cache.get(key)
         if voice is None:
             voice = CompiledVoice(w, cfg)
@@ -234,10 +241,14 @@ class Voice:
     # the voice retires at start + total_len without a device round trip.
     # None = unknown/infinite -> lazy valid-end detection.
     total_len: Optional[int] = None
+    # Last resolved output levels (levels=True trackers).
+    level_rms: float = 0.0
+    level_peak: float = 0.0
     # Deferred-sync queues: (valid_end, e) device scalars and capture dicts
     # awaiting resolution at the next sync point.
     _pending_v: List = field(default_factory=list)
     _pending_caps: List = field(default_factory=list)
+    _pending_levels: List = field(default_factory=list)
 
 
 @dataclass
@@ -265,7 +276,9 @@ class VoiceGroup:
         self.compiled = compiled
         self.voices = voices
         self.fast = all(v.fast for v in voices)
-        self.lits = voices[0].lits if self.fast else None
+        # Voices group by (compiled, fast, lits), so lits is uniform; it
+        # also drives the stateful timeline-schedule path (non-fast).
+        self.lits = voices[0].lits
         self._pending: List = []  # (valid_end[B], caps) per deferred block
         self.mesh = mesh
         params = [v.params for v in voices]
@@ -295,10 +308,13 @@ class VoiceGroup:
                 jnp.asarray([1.0] * len(voices) + [0.0] * self.pad,
                             jnp.float32), vsh)
 
-    def render(self, n: int, starts, e):
+    def render(self, n: int, starts, e, levels: bool = False):
         import jax.numpy as jnp
         if self.mesh is not None:
             fn = self._meshed_render_fn(n)
+            levels = False  # per-voice levels not computed on mesh groups
+        elif levels:
+            fn = self._levels_render_fn(n)
         else:
             fn = self.compiled.batched_render_fn(n, fast=self.fast,
                                                  lits=self.lits)
@@ -312,14 +328,41 @@ class VoiceGroup:
             self._arg_cache = (key, jnp.asarray(starts, jnp.int32),
                                jnp.int32(e))
         _, starts_dev, e_dev = self._arg_cache
+        lv = None
         if self.mesh is not None:
             y_sum, v, self.bstate, caps = fn(
                 self.bparams, self.bstate, self.weights, starts_dev, e_dev)
             v = v[:len(self.voices)]
+        elif levels:
+            y_sum, v, self.bstate, caps, rms, peak = fn(
+                self.bparams, self.bstate, starts_dev, e_dev)
+            lv = (rms, peak)
         else:
             y_sum, v, self.bstate, caps = fn(
                 self.bparams, self.bstate, starts_dev, e_dev)
-        return y_sum, v, caps
+        return y_sum, v, caps, lv
+
+    def _levels_render_fn(self, n: int):
+        """Batched render that also reduces per-voice rms/peak inside the
+        jitted program (one extra pair of reductions per block)."""
+        import jax.numpy as jnp
+        from functools import partial
+        key = ("batched-lv", n, self.fast, self.lits)
+        fn = self.compiled._render_jit.get(key)
+        if fn is None:
+            render = partial(self.compiled._render_impl, n, self.fast,
+                             self.lits)
+
+            def batched(bp, bs, starts, e):
+                y, v, st, caps = jax.vmap(
+                    render, in_axes=(0, 0, 0, None))(bp, bs, starts, e)
+                rms = jnp.sqrt(jnp.mean(y * y, axis=1))
+                peak = jnp.max(jnp.abs(y), axis=1)
+                return jnp.sum(y, axis=0), v, st, caps, rms, peak
+            fn = jax.jit(batched,
+                         donate_argnums=self.compiled._donate_state)
+            self.compiled._render_jit[key] = fn
+        return fn
 
     def _meshed_render_fn(self, n: int):
         """The batched render jitted with the voice axis sharded over the
@@ -373,7 +416,7 @@ class Tracker:
                  captured_date_format: str = "_%Y-%m-%d_%H-%M-%S",
                  precision: str = "fast", jit: bool = True, seed: int = 0,
                  compile_cache: Optional[_CompileCache] = None,
-                 sync_interval: int = 1, mesh=None):
+                 sync_interval: int = 1, mesh=None, levels: bool = False):
         self.sample_rate = sample_rate
         self.block_size = block_size
         self.captured_output_dir = Path(captured_output_dir)
@@ -401,6 +444,15 @@ class Tracker:
         # (a Modify or an unknown-length voice drops to None).
         self._ends_known = True
         self._last_end = 0
+        # Per-voice rms/peak reductions inside the jitted renders (the
+        # HUD levels of the reference UI); off by default — it adds one
+        # reduction pair per dispatch.
+        self.report_levels = levels
+        # Ring-buffer metric series (metric.py), the reference's HUD
+        # graphs for tracker_load / allocations (tracker.rs:342-345).
+        from .metric import Metric
+        self.load_metric = Metric()
+        self.dispatch_metric = Metric()
 
     @property
     def known_end(self) -> Optional[int]:
@@ -432,17 +484,32 @@ class Tracker:
             if voice.id == wid:
                 new_w = ir.substitute(voice.waveform, mark_id, new_waveform)
                 compiled = self.cache.get(new_w, self.cfg)
+                old_compiled = voice.compiled
+                needs_replay = voice.fast or old_compiled._has_timeline
+                if old_compiled._has_timeline or compiled._has_timeline:
+                    # Timeline compiles keep only a position scalar per
+                    # score; a spliced subtree starts fresh mid-stream,
+                    # which a literal schedule cannot express. Recompile
+                    # both sides without timeline (identical const order,
+                    # so params and carry_state line up) and replay.
+                    from dataclasses import replace as _dc_replace
+                    ntl = _dc_replace(self.cfg, timeline=False)
+                    compiled = self.cache.get(new_w, ntl)
+                    old_compiled = self.cache.get(voice.waveform, ntl)
                 params = compiled.params_for(new_w, seed=int(voice.params.seed))
                 old_pos, old_rst = voice.state
-                if voice.fast:
-                    # The fast path never advances the node tree; rebuild
-                    # it at the current position before carrying it onto
-                    # the modified tree. A spliced subtree starts fresh
+                if needs_replay:
+                    # The fast path (and the timeline schedule path)
+                    # never advances the node tree; rebuild it at the
+                    # current position before carrying it onto the
+                    # modified tree. A spliced subtree starts fresh
                     # mid-stream, so the voice is no longer a pure
-                    # function of the absolute index: stateful from here.
-                    old_rst = voice.compiled.state_at(
+                    # function of the absolute index: stateful (and
+                    # schedule-less: lits=None) from here.
+                    old_rst = old_compiled.state_at(
                         voice.params, int(old_pos), self.block_size)
                     voice.fast = False
+                voice.lits = None
                 _, fresh_rst = compiled.init(params)
                 voice.state = (old_pos, carry_state(
                     voice.waveform, new_w, old_rst, fresh_rst,
@@ -487,7 +554,8 @@ class Tracker:
         voice = Voice(p.id, p.waveform, compiled, params, state, p.start,
                       list(p.marks), fast=compiled.fast_default,
                       lits=(compiled.lits_for(params)
-                            if compiled.fast_default else None))
+                            if compiled.fast_default
+                            or compiled._has_timeline else None))
         # Exact retirement: resolve the voice's total length up front —
         # trace-time literal for relocatable structures, oracle length()
         # otherwise (the reference's symbolic root / generate-and-scan,
@@ -532,12 +600,21 @@ class Tracker:
         voice.state = state
         if defer:
             voice._pending_v.append((v, e))
+            if self.report_levels:
+                import jax.numpy as jnp
+                yd = jnp.asarray(y)
+                voice._pending_levels.append(
+                    (jnp.sqrt(jnp.mean(yd * yd)), jnp.max(jnp.abs(yd))))
             if caps:
                 voice._pending_caps.append(caps)
             return y
         v = int(v)
         if v < e:
             voice.finished = True
+        if self.report_levels:
+            ynp = np.asarray(y, np.float32)
+            voice.level_rms = float(np.sqrt(np.mean(ynp * ynp)))
+            voice.level_peak = float(np.abs(ynp).max())
         for stem, (cy, cs, cv) in caps.items():
             cs_i, cv_i = int(cs), int(cv)
             if cv_i > cs_i:
@@ -589,8 +666,9 @@ class Tracker:
             acc = y if acc is None else acc + y
         for group in self._groups:
             starts = [max(v.start - block_start, 0) for v in group.voices]
-            y_sum, v_arr, caps = group.render(n, starts, n)
-            group._pending.append((v_arr, caps))
+            y_sum, v_arr, caps, lv = group.render(
+                n, starts, n, levels=self.report_levels)
+            group._pending.append((v_arr, caps, lv))
             acc = y_sum if acc is None else acc + y_sum
         # Exact retirement: voices with a known total length finish the
         # moment their final block has been rendered — no device fetch.
@@ -609,16 +687,22 @@ class Tracker:
         else:
             out = acc if defer else np.asarray(acc, np.float32)
 
-        status = Status(buffer_start=block_start, voices=len(self.active))
+        status = Status(buffer_start=block_start, voices=len(self.active),
+                        dispatches=len(self._singles) + len(self._groups))
         for voice in self.active:
             status.marks.extend(voice.marks)
         for p in self.pending:
             status.marks.extend(p.marks)
+        if self.report_levels:
+            status.voice_levels = {v.id: (v.level_rms, v.level_peak)
+                                   for v in self.active}
         if self.send_current_buffer:
             status.buffer = np.asarray(out, np.float32).copy()
             self.send_current_buffer = False
         elapsed = _time.perf_counter() - t0
         status.tracker_load = elapsed * self.sample_rate / n
+        self.load_metric.set(status.tracker_load)
+        self.dispatch_metric.set(float(status.dispatches))
         return out, status
 
     def _stage_pending(self):
@@ -629,19 +713,33 @@ class Tracker:
         import jax.numpy as jnp
         flat: List = []
         plan: List = []  # ("single", voice, e) | ("group", group, caps)
+        f32 = jnp.float32  # one packed dtype; ints < 2^24 stay exact
+
+        def put(x):
+            flat.append(jnp.atleast_1d(x).astype(f32))
+
         for voice in self._singles:
             for (v, e) in voice._pending_v:
-                flat.append(jnp.atleast_1d(v))
+                put(v)
                 plan.append(("single", voice, e))
+            for (r, pk) in voice._pending_levels:
+                put(r)
+                put(pk)
+                plan.append(("slevel", voice, None))
             caps_list = voice._pending_caps
             voice._pending_v = []
             voice._pending_caps = []
+            voice._pending_levels = []
             for caps in caps_list:
                 plan.append(("caps", voice, caps))
         for group in self._groups:
-            for (v_arr, caps) in group._pending:
-                flat.append(jnp.atleast_1d(v_arr))
+            for (v_arr, caps, lv) in group._pending:
+                put(v_arr)
                 plan.append(("group", group, caps))
+                if lv is not None:
+                    put(lv[0])
+                    put(lv[1])
+                    plan.append(("glevel", group, None))
             group._pending = []
         if not flat:
             return None
@@ -677,6 +775,18 @@ class Tracker:
                                 np.asarray(cy[i, cs_i:cv_i], np.float32))
                     if int(v_np[i]) < self.block_size:
                         voice.finished = True
+            elif kind == "slevel":
+                target.level_rms = float(data[cursor])
+                target.level_peak = float(data[cursor + 1])
+                cursor += 2
+            elif kind == "glevel":
+                b = len(target.voices) + target.pad
+                rms = data[cursor:cursor + b]
+                peak = data[cursor + b:cursor + 2 * b]
+                cursor += 2 * b
+                for i, voice in enumerate(target.voices):
+                    voice.level_rms = float(rms[i])
+                    voice.level_peak = float(peak[i])
             else:  # caps on a single voice
                 voice, caps = target, extra
                 for stem, (cy, cs, cv) in caps.items():
