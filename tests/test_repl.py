@@ -152,3 +152,59 @@ def test_cli_ui_flag_launches_repl(monkeypatch, tmp_path):
     rc = cli.main(["--ui", "true", str(src), "--no-jit"])
     assert rc == 0 and launched.get("ran")
     assert "load" in launched.get("loaded", "")
+
+
+def test_async_precompute_next_measure(tmp_path, monkeypatch):
+    """`play N measure` returns before the bake completes (the reference's
+    dedicated precompute thread, main.rs:209-250); the finished bake is
+    pumped into the tracker at a later block boundary and the voice still
+    starts exactly at the precomputed measure sample."""
+    import threading
+    import time
+
+    from tuun_tpu.engine import precompute as precompute_mod
+
+    baking = threading.Event()
+    release = threading.Event()
+    real = precompute_mod.precompute
+
+    def slow_precompute(w, sample_rate, seed=0, cfg=None):
+        baking.set()
+        assert release.wait(timeout=10), "test never released the bake"
+        return real(w, sample_rate, seed=seed, cfg=cfg)
+
+    monkeypatch.setattr(precompute_mod, "precompute", slow_precompute)
+    r, out, _ = make_repl(tmp_path)
+    t0 = time.perf_counter()
+    r.dispatch("play A2 measure")  # next measure = sample 400 (4s @ 60bpm)
+    latency = time.perf_counter() - t0
+    # play returned while the bake is still blocked.
+    assert baking.wait(timeout=10)
+    assert latency < 0.5
+    assert not r.tracker.pending and not r.tracker.active
+    release.set()
+    assert r.player.flush_bakes() == 1
+    # The voice was scheduled at the measure boundary fixed at play time.
+    assert r.tracker.pending and r.tracker.pending[0].start == 400
+    r.dispatch("render 5.0")
+    mix = r.rendered[-1]
+    # Program A2 is `1 | fin(time - 0.5)`: ones for 0.5s from sample 400.
+    assert np.allclose(mix[400:450], 1.0, atol=1e-6)
+    assert np.allclose(mix[:400], 0.0) and np.allclose(mix[450:], 0.0)
+    r.dispatch("quit")
+
+
+def test_async_precompute_bake_failure_plays_unbaked(tmp_path, monkeypatch):
+    from tuun_tpu.engine import precompute as precompute_mod
+
+    def broken(w, sample_rate, seed=0, cfg=None):
+        raise RuntimeError("bake exploded")
+
+    monkeypatch.setattr(precompute_mod, "precompute", broken)
+    r, out, _ = make_repl(tmp_path)
+    r.dispatch("play A2 measure")
+    assert r.player.flush_bakes() == 1
+    r.dispatch("render 5.0")
+    mix = r.rendered[-1]
+    assert np.allclose(mix[400:450], 1.0, atol=1e-6)
+    r.dispatch("quit")

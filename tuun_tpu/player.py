@@ -11,6 +11,8 @@ Status for parity with the reference's `Beats` waveforms.
 from __future__ import annotations
 
 import math
+import queue
+import threading
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -71,11 +73,20 @@ class Player:
     """Schedules program playback on a Tracker using a sample clock."""
 
     def __init__(self, tracker: Tracker, tempo: int, beats_per_measure: int,
-                 precompute: bool = False):
+                 precompute: bool = False, async_precompute: bool = False):
         self.tracker = tracker
         self.tempo = tempo
         self.beats_per_measure = beats_per_measure
         self.precompute = precompute
+        # Async precompute (the reference's dedicated bake thread for
+        # next-measure playback, main.rs:209-250): play() returns
+        # immediately, a worker bakes finite subtrees, and the finished
+        # command is drained into the tracker by pump() at the next
+        # block boundary (the mpsc Command drain, tracker.rs:321-329).
+        self.async_precompute = async_precompute
+        self._bake_in: Optional[queue.Queue] = None
+        self._bake_out: queue.Queue = queue.Queue()
+        self._bake_thread: Optional[threading.Thread] = None
 
     @property
     def sample_rate(self) -> int:
@@ -118,16 +129,75 @@ class Player:
         schedules (player.rs:79-125)."""
         w = optimizer.optimize(w)
         w, _ = substitute_slider_values(w, sliders, normalized)
-        if self.precompute:
-            from .engine.precompute import precompute as engine_precompute
-            w = engine_precompute(w, self.sample_rate,
-                                  cfg=self.tracker.cfg)
         start = self.next_measure_start() if start_at_next_measure else None
         repeat = None
         if repeat_after_measures is not None:
             repeat = int(repeat_after_measures * self.samples_per_measure())
+        if self.precompute:
+            if self.async_precompute and start is not None:
+                # The reference routes only next-measure playback through
+                # the bake thread (the fast route skips it, player.rs:1-8);
+                # start is fixed now, and a bake that overshoots the
+                # boundary is absorbed by late-start catch-up.
+                self._ensure_worker()
+                self._bake_in.put((wid, w, level_db, start, repeat))
+                return
+            from .engine.precompute import precompute as engine_precompute
+            w = engine_precompute(w, self.sample_rate,
+                                  cfg=self.tracker.cfg)
         self.tracker.play(wid, build_top_level_waveform(w, level_db),
                           start=start, repeat_every=repeat)
+
+    # -- async precompute ----------------------------------------------
+
+    def _ensure_worker(self) -> None:
+        if self._bake_thread is None or not self._bake_thread.is_alive():
+            self._bake_in = queue.Queue()
+            self._bake_thread = threading.Thread(
+                target=self._bake_worker, daemon=True)
+            self._bake_thread.start()
+
+    def _bake_worker(self) -> None:
+        from .engine import precompute as precompute_mod
+        while True:
+            item = self._bake_in.get()
+            if item is None:
+                self._bake_in.task_done()
+                return
+            wid, w, level_db, start, repeat = item
+            try:
+                baked = precompute_mod.precompute(w, self.sample_rate,
+                                                  cfg=self.tracker.cfg)
+            except Exception:
+                baked = w  # a failed bake plays unbaked, never silently
+            self._bake_out.put((wid, baked, level_db, start, repeat))
+            self._bake_in.task_done()
+
+    def pump(self) -> int:
+        """Drains finished bakes into the tracker; call at each block
+        boundary (the audio callback's command drain).  Returns the number
+        of commands submitted."""
+        n = 0
+        while True:
+            try:
+                wid, w, level_db, start, repeat = self._bake_out.get_nowait()
+            except queue.Empty:
+                return n
+            self.tracker.play(wid, build_top_level_waveform(w, level_db),
+                              start=start, repeat_every=repeat)
+            n += 1
+
+    def flush_bakes(self) -> int:
+        """Waits for every outstanding bake and pumps it (deterministic
+        rendering for tests and batch mode)."""
+        if self._bake_in is not None:
+            self._bake_in.join()
+        return self.pump()
+
+    def close(self) -> None:
+        if self._bake_thread is not None and self._bake_thread.is_alive():
+            self._bake_in.put(None)
+            self._bake_thread.join(timeout=5)
 
     def play_note(self, key: int, w: ir.Waveform, level_db: float = 0.0
                   ) -> None:

@@ -40,13 +40,17 @@ class Repl:
     def __init__(self, sample_rate: int = 44100, tempo: int = 90,
                  beats_per_measure: int = 4, buffer_size: int = 1024,
                  library_root=None, precision: str = "fast",
-                 jit: bool = True, out=sys.stdout):
+                 jit: bool = True, out=sys.stdout, precompute: bool = True):
         self.out = out
         self.evaluator = Evaluator(sample_rate, tempo,
                                    library_root or DEFAULT_LIBRARY)
         self.tracker = Tracker(sample_rate, buffer_size,
                                precision=precision, jit=jit, levels=True)
-        self.player = Player(self.tracker, tempo, beats_per_measure)
+        # Next-measure playback bakes on a worker thread (the reference's
+        # precompute thread, main.rs:209-250): `play N measure` returns
+        # immediately; `render` pumps finished bakes at block boundaries.
+        self.player = Player(self.tracker, tempo, beats_per_measure,
+                             precompute=precompute, async_precompute=True)
         self.programs: Optional[ProgramSet] = None
         self.keys_program: Optional[int] = None
         self._keys_fn = None
@@ -319,6 +323,11 @@ class Repl:
     def cmd_render(self, seconds: str, path: str = ""):
         n_blocks = max(1, int(float(seconds) * self.tracker.sample_rate /
                               self.tracker.block_size))
+        # Wait for outstanding next-measure bakes before rendering: time
+        # is virtual here, so unlike the reference's real-time callback
+        # (which would catch a late bake up after its fixed start) the
+        # deterministic choice is free.  `play` itself stays instant.
+        self.player.flush_bakes()
         chunks = []
         for _ in range(n_blocks):
             y, status = self.tracker.render_block()
@@ -348,6 +357,7 @@ class Repl:
                      f"dispatches/block avg {sum(disp) / len(disp):.1f}")
 
     def cmd_quit(self):
+        self.player.close()
         self.running = False
 
 
