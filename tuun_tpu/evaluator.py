@@ -133,6 +133,16 @@ class Evaluator:
         return Evaluation.invalid([Diagnostic(
             "Program is not a waveform or keys instrument")])
 
+    def program_context(self, program_set, index: int
+                        ) -> List[Tuple[str, Expr]]:
+        """The evaluated (name, value) context a program's expression sees
+        — prelude, preceding file bindings, slider bindings — most
+        recently bound last.  Used by identifier completion and parameter
+        hints (the reference's evaluator::program_context)."""
+        bindings = [SourceBinding(BOpen(("__prelude",)))]
+        bindings += program_set.evaluation_bindings(index)
+        return eval_mod.evaluate_bindings(self.resolve, bindings)
+
     def apply_note_function(self, function: Expr, args: List[Expr]
                             ) -> Tuple[ir.Waveform, ir.Waveform]:
         """Evaluates `(note, velocity) -> (note_on, note_off)`

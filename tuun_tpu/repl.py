@@ -1,13 +1,19 @@
 """Interactive live-coding REPL.
 
-The TPU build's counterpart of the reference's SDL2 UI loop (actions.rs /
-effects.rs / sdl2_input.rs keymap): load a program file, evaluate and play
-programs, stop them, install keys instruments, strike/release notes, move
-sliders (spliced as click-free ramps into live voices), edit program text
-in place, persist annotations, and dump waveform IR.  There is no audio
-device in the TPU environment, so time advances explicitly: `render N.N`
-renders the next N.N seconds of the mix (optionally to a WAV), which is
-where scheduled starts, ramps and note releases actually play out.
+The TPU build's interactive surface (the reference's SDL2 UI loop).  The
+REPL is a thin *input handler*: commands are classified into pure
+`actions.Action` values (just as sdl2_input.rs classifies keyboard
+events), `actions.apply` reduces them against the `AppState`, and
+`effects.EffectRunner` executes the returned Effects against the player,
+tracker, and evaluator.  `key CHORD...` feeds raw keyboard chords
+through `keymap.classify_key`, so the full edit-mode interaction model —
+cursor ops, word ops, kill-line, identifier completion cycling,
+parameter hints, undo/redo coalescing — is drivable from the prompt.
+
+There is no audio device in the TPU environment, so time advances
+explicitly: `render N.N` renders the next N.N seconds of the mix
+(optionally to a WAV), which is where scheduled starts, ramps, and note
+releases actually play out.
 
 Run:  python -m tuun_tpu.repl [file.tuun]
 """
@@ -17,19 +23,16 @@ from __future__ import annotations
 import shlex
 import sys
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
-from . import eval as eval_mod
-from . import ir, optimizer, parser
-from .diagnostics import Source
+from . import actions as A
+from . import ir, keymap, optimizer
+from .effects import EffectRunner
 from .evaluator import Evaluator
-from .expr import BOpen, EBuiltIn, EFunction, ESeq, EWaveform, SourceBinding, TuunError
-from .ids import MarkId, WaveformId
-from .player import Player, substitute_slider_values
-from .programs import ProgramSet
-from .sliders import denormalize_or_zero, make_ramp
+from .expr import SliderLinear, TuunError
+from .player import Player
 from .tracker import Tracker
 from .wav import write_wav_f32
 
@@ -51,15 +54,21 @@ class Repl:
         # immediately; `render` pumps finished bakes at block boundaries.
         self.player = Player(self.tracker, tempo, beats_per_measure,
                              precompute=precompute, async_precompute=True)
-        self.programs: Optional[ProgramSet] = None
-        self.keys_program: Optional[int] = None
-        self._keys_fn = None
-        self._note_offs: Dict[int, ir.Waveform] = {}
-        self._histories: Dict[int, object] = {}
+        self.runner: Optional[EffectRunner] = None
         self.rendered: List[np.ndarray] = []
         self.running = True
 
     # ------------------------------------------------------------------
+
+    @property
+    def state(self) -> A.AppState:
+        if self.runner is None:
+            raise TuunError("no file loaded (use: load FILE)")
+        return self.runner.state
+
+    @property
+    def programs(self):
+        return self.runner.state.programs if self.runner else None
 
     def log(self, message: str) -> None:
         print(message, file=self.out)
@@ -95,6 +104,7 @@ class Repl:
         self.log(
             "load FILE [all]      load a program file (all: every binding)\n"
             "list                 list programs\n"
+            "select N             select program N (the active program)\n"
             "play N [measure]     play program N (measure: at next measure)\n"
             "loop N M             play program N repeating every M measures\n"
             "stop [N]             stop program N (or everything)\n"
@@ -102,28 +112,32 @@ class Repl:
             "on KEY [VEL]         strike a key (MIDI note number)\n"
             "off KEY              release a key\n"
             "slider N LABEL V     set a slider (live voices ramp to V)\n"
-            "edit N TEXT...       splice new text into program N\n"
+            "level N DB           set program N's level in dB\n"
+            "edit N [TEXT...]     edit program N (no text: interactive "
+            "edit mode)\n"
+            "key CHORD...         send key chords (enter, escape, C-a, "
+            "M-f, M-/, C-z...)\n"
+            "type TEXT...         insert text at the edit cursor\n"
+            "undo N / redo N      undo/redo program N's edits\n"
             "save [FILE]          persist annotations + write source\n"
             "dump N               print program N's optimized waveform IR\n"
             "render SECS [FILE]   render the next SECS seconds (to WAV)\n"
-            "status               voices / pending / marks\n"
+            "status               voices / pending / marks / mode\n"
             "quit")
 
     def cmd_load(self, path: str, mode: str = ""):
         source = Path(path).read_text()
-        self.programs, message = ProgramSet.from_source(
+        state, message = A.AppState.from_source(
             source, Path(path), all_bindings=mode == "all")
+        self.runner = EffectRunner(state, self.evaluator, self.player,
+                                   log=self.log)
         if message:
             self.log(message)
         self.cmd_list()
 
-    def _require_programs(self) -> ProgramSet:
-        if self.programs is None:
-            raise TuunError("no file loaded (use: load FILE)")
-        return self.programs
-
     def cmd_list(self):
-        ps = self._require_programs()
+        from .sliders import denormalize_or_zero
+        ps = self.state.programs
         for i, p in enumerate(ps.programs):
             if p.is_empty():
                 continue
@@ -136,7 +150,7 @@ class Repl:
             self.log(f"{ps.display_name(i)}: {flat[:60]}{extra}")
 
     def _slot(self, name: str) -> int:
-        ps = self._require_programs()
+        ps = self.state.programs
         name = name.upper()
         if len(name) >= 2 and name[0].isalpha():
             index = (ord(name[0]) - ord("A")) * 8 + int(name[1:]) - 1
@@ -147,46 +161,21 @@ class Repl:
             raise TuunError(f"no program {name}")
         return index
 
-    def _evaluate(self, index: int):
-        ps = self._require_programs()
-        program = ps.programs[index]
-        bindings = [SourceBinding(BOpen(("__prelude",)))]
-        bindings += ps.evaluation_bindings(index)
-        expr = parser.parse_program(program.text, Source.program())
-        return eval_mod.evaluate(self.evaluator.resolve, bindings, expr)
+    def cmd_select(self, name: str):
+        self.runner.dispatch(A.SelectProgram(self._slot(name)))
 
     def cmd_play(self, name: str, measure: str = ""):
-        ps = self._require_programs()
         index = self._slot(name)
-        value = self._evaluate(index)
-        if isinstance(value, ESeq):
-            value = value.waveform
-        if not isinstance(value, EWaveform):
-            raise TuunError("program is not a waveform (try: keys)")
-        program = ps.programs[index]
-        self.player.play(WaveformId.program(index), value.waveform,
-                         level_db=program.level_db,
-                         sliders=program.sliders.configs,
-                         normalized=program.sliders.normalized_values,
-                         start_at_next_measure=measure == "measure")
-        self.log(f"playing {ps.display_name(index)}")
+        self.runner.dispatch(A.PlayProgram(
+            index, start_at_next_measure=measure == "measure"))
 
     def cmd_loop(self, name: str, measures: str = "1"):
-        ps = self._require_programs()
         index = self._slot(name)
-        value = self._evaluate(index)
-        if isinstance(value, ESeq):
-            value = value.waveform
-        if not isinstance(value, EWaveform):
-            raise TuunError("program is not a waveform")
-        program = ps.programs[index]
-        self.player.play(WaveformId.program(index), value.waveform,
-                         level_db=program.level_db,
-                         sliders=program.sliders.configs,
-                         normalized=program.sliders.normalized_values,
-                         start_at_next_measure=True,
-                         repeat_after_measures=int(measures))
-        self.log(f"looping {ps.display_name(index)} every {measures} measures")
+        self.runner.dispatch(A.PlayProgram(
+            index, start_at_next_measure=True,
+            repeat_after_measures=int(measures)))
+        self.log(f"looping {self.state.programs.display_name(index)} "
+                 f"every {measures} measures")
 
     def cmd_stop(self, name: str = ""):
         if not name:
@@ -194,90 +183,90 @@ class Repl:
             self.log("stopped everything")
             return
         index = self._slot(name)
-        self.player.stop(WaveformId.program(index))
-        self.log(f"stopping {self._require_programs().display_name(index)}")
+        self.runner.dispatch(A.RemovePendingProgram(index),
+                             A.StopProgram(index))
 
     def cmd_keys(self, name: str):
-        index = self._slot(name)
-        value = self._evaluate(index)
-        if not isinstance(value, (EFunction, EBuiltIn)):
-            raise TuunError("program is not a keys instrument")
-        self.evaluator.apply_note_function(
-            value, [parser.parse_program("60"), parser.parse_program("0.7")])
-        self.keys_program = index
-        self._keys_fn = value
-        self.log(f"keys instrument installed from "
-                 f"{self._require_programs().display_name(index)}")
+        self.runner.dispatch(A.ToggleInstalledKeys(self._slot(name)))
 
     def cmd_on(self, key: str, velocity: str = "100"):
-        if self._keys_fn is None:
+        if self.state.keys_program is None:
             raise TuunError("no keys instrument (use: keys N)")
-        ps = self._require_programs()
-        program = ps.programs[self.keys_program]
-        from .expr import EFloat
-        note_on, note_off = self.evaluator.apply_note_function(
-            self._keys_fn,
-            [EFloat(float(key)), EFloat(float(velocity) / 127.0)])
-        note_on = optimizer.optimize(note_on)
-        self._note_offs[int(key)] = optimizer.optimize(note_off)
-        note_on, _ = substitute_slider_values(
-            note_on, program.sliders.configs,
-            program.sliders.normalized_values)
-        self.player.play_note(int(key), note_on,
-                              level_db=program.level_db)
+        self.runner.dispatch(A.NoteOn(int(key), int(velocity)))
         self.log(f"note on {key}")
 
     def cmd_off(self, key: str):
-        w = self._note_offs.pop(int(key), None)
-        if w is None:
-            return
-        ps = self._require_programs()
-        program = ps.programs[self.keys_program]
-        w, _ = substitute_slider_values(
-            w, program.sliders.configs, program.sliders.normalized_values)
-        self.tracker.modify(WaveformId.key(int(key)), MarkId.TERMINATOR, w)
-        self.tracker.remove_pending(WaveformId.key(int(key)))
+        self.runner.dispatch(A.NoteOff(int(key)))
         self.log(f"note off {key}")
 
     def cmd_slider(self, name: str, label: str, value: str):
-        ps = self._require_programs()
         index = self._slot(name)
-        program = ps.programs[index]
+        program = self.state.programs.programs[index]
         for i, c in enumerate(program.sliders.configs):
             if c.label == label:
                 target = float(value)
-                last = denormalize_or_zero(
-                    c.function, program.sliders.normalized_values[i])
-                # Store normalized position (linear functions invert).
-                from .expr import SliderLinear
+                # Command values are real units; linear functions invert
+                # to a normalized position, user functions take the value
+                # as already normalized.
                 if isinstance(c.function, SliderLinear):
                     span = c.function.max - c.function.min
-                    program.sliders.normalized_values[i] = \
-                        (target - c.function.min) / span if span else 0.0
-                ramp = make_ramp(
-                    last, target,
-                    self.tracker.block_size / self.tracker.sample_rate)
-                self.tracker.modify(WaveformId.program(index),
-                                    MarkId.slider(label), ramp)
-                for kid in list(self._note_offs):
-                    self.tracker.modify(WaveformId.key(kid),
-                                        MarkId.slider(label), ramp)
-                self.log(f"{label} -> {target}")
+                    normalized = (target - c.function.min) / span \
+                        if span else 0.0
+                else:
+                    normalized = target
+                self.runner.dispatch(
+                    A.SetSliderNormalized(index, i, normalized))
                 return
         raise TuunError(f"no slider {label} on program {name}")
 
-    def cmd_edit(self, name: str, *text: str):
-        ps = self._require_programs()
+    def cmd_level(self, name: str, db: str):
         index = self._slot(name)
-        from .programs import EditHistory
-        history = self._histories.setdefault(
-            index, EditHistory(ps.programs[index].text))
-        err = ps.splice(index, " ".join(text))
-        if err:
-            self.log(f"splice failed (source unchanged): {err}")
+        self.runner.dispatch(A.SetLevelDb(index, float(db)))
+
+    def cmd_edit(self, name: str, *text: str):
+        index = self._slot(name)
+        state = self.state
+        if not text:
+            # Interactive edit mode on the selected program; drive it
+            # with `key` / `type`, leave with `key escape` (evaluates).
+            self.runner.dispatch(A.SelectProgram(index), A.EnterEditMode())
+            self._show_edit_line()
+            return
+        # One-shot splice (the scripted-edit surface): swap the text and
+        # run the source update effect; record the undo unit on success.
+        program = state.programs.programs[index]
+        old = program.text
+        program.text = " ".join(text)
+        before = state.programs.source
+        self.runner.run_effect(A.EUpdateSource(index))
+        if state.programs.source is before:
+            program.text = old  # failed splice: nothing changed
         else:
-            history.record(ps.programs[index].text)
-            self.log(f"updated {ps.display_name(index)}")
+            state.history(index).record_edit(old, len(old))
+            self.runner.invalidate()
+            self.log(f"updated {state.programs.display_name(index)}")
+
+    def cmd_key(self, *chords: str):
+        if not chords:
+            raise TuunError("usage: key CHORD...")
+        for chord in chords:
+            self.runner.dispatch(*keymap.classify_key(self.state, chord))
+        self._show_edit_line()
+
+    def cmd_type(self, *words: str):
+        self.runner.dispatch(
+            *keymap.classify_text(self.state, " ".join(words)))
+        self._show_edit_line()
+
+    def _show_edit_line(self):
+        state = self.state
+        if isinstance(state.mode, A.Edit):
+            text = state.active_program().text
+            c = state.mode.cursor
+            self.log(f"edit {state.programs.display_name(state.active_program_index)}> "
+                     f"{text[:c]}│{text[c:]}")
+            if state.mode.errors:
+                self.log(str(state.mode.errors[0]))
 
     def cmd_undo(self, name: str):
         self._apply_history(name, "undo")
@@ -286,21 +275,25 @@ class Repl:
         self._apply_history(name, "redo")
 
     def _apply_history(self, name: str, op: str):
-        ps = self._require_programs()
+        state = self.state
         index = self._slot(name)
-        history = self._histories.get(index)
-        text = getattr(history, op)() if history else None
-        if text is None:
+        program = state.programs.programs[index]
+        restored = getattr(state.history(index), op)(
+            program.text, len(program.text))
+        if restored is None:
             self.log(f"nothing to {op}")
             return
-        err = ps.splice(index, text)
+        text, _ = restored
+        err = state.programs.splice(index, text)
         if err:
             self.log(f"{op} failed: {err}")
         else:
-            self.log(f"{op}: {ps.display_name(index)} = {text[:50]}")
+            self.runner.invalidate()
+            self.log(f"{op}: {state.programs.display_name(index)} = "
+                     f"{text[:50]}")
 
     def cmd_save(self, path: str = ""):
-        ps = self._require_programs()
+        ps = self.state.programs
         for i, p in enumerate(ps.programs):
             if not p.is_empty() and p.sliders.configs:
                 err = ps.persist_annotations(i)
@@ -311,14 +304,14 @@ class Repl:
 
     def cmd_dump(self, name: str):
         index = self._slot(name)
-        value = self._evaluate(index)
-        if isinstance(value, ESeq):
-            value = value.waveform
-        if isinstance(value, EWaveform):
-            self.log(ir.format_waveform(optimizer.optimize(value.waveform)))
-        else:
+        ev = self.runner.evaluation(index)
+        if ev.kind == "waveform":
+            self.log(ir.format_waveform(optimizer.optimize(ev.value)))
+        elif ev.kind == "keys":
             from .expr import format_expr
-            self.log(format_expr(value))
+            self.log(format_expr(ev.value))
+        else:
+            self.log("\n".join(str(d) for d in ev.diagnostics))
 
     def cmd_render(self, seconds: str, path: str = ""):
         n_blocks = max(1, int(float(seconds) * self.tracker.sample_rate /
@@ -329,9 +322,12 @@ class Repl:
         # deterministic choice is free.  `play` itself stays instant.
         self.player.flush_bakes()
         chunks = []
+        status = None
         for _ in range(n_blocks):
             y, status = self.tracker.render_block()
             chunks.append(y)
+        if self.runner is not None and status is not None:
+            self.runner.observe_status(status)
         mix = np.concatenate(chunks)
         self.rendered.append(mix)
         if path:
@@ -349,6 +345,10 @@ class Repl:
             self.log(f"active: {v.id}  rms {v.level_rms:.4f}  "
                      f"peak {v.level_peak:.4f}")
         self.log(f"pending: {[str(p.id) for p in self.tracker.pending]}")
+        if self.runner is not None:
+            mode = type(self.state.mode).__name__
+            self.log(f"mode: {mode}  active: "
+                     f"{self.state.programs.display_name(self.state.active_program_index)}")
         load = [x for x in self.tracker.load_metric.series() if x is not None]
         disp = [x for x in self.tracker.dispatch_metric.series()
                 if x is not None]

@@ -460,6 +460,18 @@ class Tracker:
         voice's length was statically known; None otherwise."""
         return self._last_end if self._ends_known else None
 
+    def status_snapshot(self) -> Status:
+        """A Status reflecting the current voice tables without rendering
+        a block.  The reference's reducer reads the latest audio-thread
+        Status; here the tracker lives on the same thread, so the
+        snapshot is always live truth."""
+        status = Status(buffer_start=self.now, voices=len(self.active))
+        for voice in self.active:
+            status.marks.extend(voice.marks)
+        for p in self.pending:
+            status.marks.extend(p.marks)
+        return status
+
     # -- commands ------------------------------------------------------
 
     def play(self, wid, waveform: ir.Waveform, start: Optional[int] = None,
