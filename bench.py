@@ -142,9 +142,11 @@ def bench_one(name, w, seconds=8.0, warmup_blocks=2):
     return total / dt
 
 
-def bench_polyphony(n_voices=256, seconds=4.0, block=1 << 14):
+def bench_polyphony(n_voices=256, seconds=4.0, block=1 << 17):
     """Concurrent-voice throughput: n same-structure FM voices rendered as
-    one vmapped call (the tracker's VoiceGroup path)."""
+    one vmapped call (the tracker's VoiceGroup path).  Like the
+    single-voice lanes this is dispatch-bound below ~2^17 lanes per
+    block (measured: 7.7k/24k/57k x realtime mix at 2^14/2^16/2^17)."""
     import jax
     import jax.numpy as jnp
 

@@ -688,6 +688,9 @@ class Tracker:
             if voice.total_len is not None and \
                     voice.start + voice.total_len <= block_end:
                 voice.finished = True
+        # Count dispatches before the sync prunes voices that finished
+        # inside this very block.
+        dispatches = len(self._singles) + len(self._groups)
         self.now = block_end
         self._since_sync += 1
         if not defer:
@@ -700,7 +703,7 @@ class Tracker:
             out = acc if defer else np.asarray(acc, np.float32)
 
         status = Status(buffer_start=block_start, voices=len(self.active),
-                        dispatches=len(self._singles) + len(self._groups))
+                        dispatches=dispatches)
         for voice in self.active:
             status.marks.extend(voice.marks)
         for p in self.pending:
