@@ -235,12 +235,64 @@ def bench_instrument(expr="harmonica(10.0, 440)", seconds=8.0,
     return sps
 
 
+def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=16):
+    """Informational: the reference's actual operating point — the live
+    Tracker streaming 1024-sample blocks (44.1 kHz mono, the tracker.rs
+    callback contract) with several mixed voices and pipelined syncs.
+    Reports the realtime headroom (the inverse of tracker_load)."""
+    from tuun_tpu.tracker import Tracker
+    from tuun_tpu.ids import WaveformId
+    from tuun_tpu.player import build_top_level_waveform
+
+    ev = Evaluator(SAMPLE_RATE, 120, STDLIB)
+
+    def from_expr(text):
+        out = ev.evaluate_source(text, opens=("std",))
+        if isinstance(out, ESeq):
+            out = out.waveform
+        return optimizer.optimize(out.waveform)
+
+    # Steady-state streaming: every voice outlives the run (a retiring
+    # voice changes the fused-set key mid-measurement).
+    exprs = ["triangle(55) + (noise * 0.2) | fin(time - 3600)",
+             "sine(2*pi * 220, 3 * sine(2*pi * 110, 0)) * 0.2"
+             " | fin(time - 3600)",
+             "sawtooth(110) | lpf(0.9, 1800)",
+             "$330 | ADSR(0.01, 0.2, 0.6, 3000.0, 0.5)"]
+    tracker = Tracker(SAMPLE_RATE, block, precision="fast", jit=True,
+                      sync_interval=sync_interval)
+    # Deterministic measurement: compile the fused session step inside
+    # the warmup instead of racing it on the background thread.
+    tracker.fuse_blocking = True
+    for i in range(n_voices):
+        tracker.play(WaveformId.program(i),
+                     build_top_level_waveform(from_expr(exprs[i % 4]), 0.0))
+    # Warm the compile caches.
+    for _ in range(2 * sync_interval):
+        tracker.render_block()
+    n_blocks = max(4 * sync_interval, int(seconds * SAMPLE_RATE / block))
+    n_blocks -= n_blocks % sync_interval  # end on a sync boundary
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        y, status = tracker.render_block()
+    import jax
+    jax.block_until_ready(y)
+    dt = time.perf_counter() - t0
+    sps = n_blocks * block / dt
+    print(f"# streaming_tracker_{n_voices}v: {sps / 1e6:.1f} Msamples/s "
+          f"({sps / SAMPLE_RATE:.0f}x realtime headroom at 1024-sample "
+          f"blocks, {n_voices} voices, informational)", file=sys.stderr)
+    return sps
+
+
 def run_one(name: str) -> int:
     """Subprocess entry: bench one workload, print 'RESULT <sps>'."""
     if name == "poly_voices":
         sps = bench_polyphony(256)
     elif name == "instrument":
         sps = bench_instrument()
+    elif name == "streaming":
+        sps = bench_streaming()
     else:
         sps = bench_one(name, workloads()[name])
     print(f"RESULT {sps}")
@@ -274,7 +326,8 @@ def main():
             print(f"# {name} FAILED: {exc}", file=sys.stderr)
             results[name] = None
     for extra, tag in (("poly_voices", "# poly_voices"),
-                       ("instrument", "# instrument")):
+                       ("instrument", "# instrument"),
+                       ("streaming", "# streaming")):
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--one", extra],

@@ -383,3 +383,93 @@ def test_deferred_host_blocks_keep_fifo_order(monkeypatch):
     np.testing.assert_allclose(got[:n], expected[:n], atol=1e-6)
     assert np.all(np.asarray(got[n:]) == 0.0)
     assert np.all(np.asarray(expected[n:]) == 0.0)
+
+
+def _session_tracker(fuse: bool, **kw):
+    from tuun_tpu.player import build_top_level_waveform
+    t = Tracker(100, 16, precision="fast", jit=True, **kw)
+    t.fuse = fuse
+    t.fuse_blocking = True
+    # Two distinct structures plus a same-structure pair (groups as one
+    # vmapped member): the full fused-step shape.
+    t.play(WaveformId.program(0), build_top_level_waveform(
+        ir.Sine(ir.Const(3.0), ir.Const(0.0)), 0.0))
+    t.play(WaveformId.program(1), build_top_level_waveform(
+        ir.Fin(ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(),
+                                ir.Const(0.9)), ir.Const(0.25)), 0.0))
+    t.play(WaveformId.program(2), build_top_level_waveform(
+        ir.Sine(ir.Const(7.0), ir.Const(0.0)), 0.0))
+    return t
+
+
+def test_fused_session_step_matches_per_voice():
+    """After fuse_after stable blocks the whole voice set renders as ONE
+    dispatch; the mix must equal the per-voice path exactly."""
+    blocks = 12
+    ref = _session_tracker(fuse=False)
+    want = [ref.render_block()[0] for _ in range(blocks)]
+    got_t = _session_tracker(fuse=True)
+    got, dispatches = [], []
+    for _ in range(blocks):
+        y, status = got_t.render_block()
+        got.append(y)
+        dispatches.append(status.dispatches)
+    np.testing.assert_allclose(np.concatenate(got), np.concatenate(want),
+                               atol=1e-6)
+    assert dispatches[0] > 1          # warming up: per-member dispatch
+    assert dispatches[-1] == 1        # fused steady state
+    # The finite voice retires on schedule under fusion too.
+    assert all(v.id != WaveformId.program(1) for v in got_t.active)
+
+
+def test_fused_session_step_modify_falls_back_and_reengages():
+    from tuun_tpu import sliders as sliders_mod
+    blocks = 6
+    ref = _session_tracker(fuse=False)
+    got_t = _session_tracker(fuse=True)
+    for t in (ref, got_t):
+        t.render_block()
+        t.render_block()
+        t.render_block()  # fused path engaged on the fused tracker
+    ramp = sliders_mod.make_ramp(1.0, 0.25, 0.16)
+    want, got = [], []
+    for t, out in ((ref, want), (got_t, got)):
+        t.modify(WaveformId.program(0), MarkId.AMPLITUDE, ramp)
+        for _ in range(blocks):
+            out.append(t.render_block()[0])
+    np.testing.assert_allclose(np.concatenate(got), np.concatenate(want),
+                               atol=1e-6)
+    # Re-engaged after the set stabilized again.
+    assert got_t.render_block()[1].dispatches == 1
+
+
+def test_fused_session_step_deferred_sync_levels_and_captures(tmp_path):
+    from tuun_tpu.player import build_top_level_waveform
+    ref = Tracker(100, 16, precision="fast", jit=True, sync_interval=4,
+                  levels=True, captured_output_dir=tmp_path,
+                  captured_date_format="")
+    ref.fuse = False
+    fus = Tracker(100, 16, precision="fast", jit=True, sync_interval=4,
+                  levels=True, captured_output_dir=tmp_path / "f",
+                  captured_date_format="")
+    (tmp_path / "f").mkdir()
+    fus.fuse = True
+    fus.fuse_blocking = True
+    for t in (ref, fus):
+        t.play(WaveformId.program(0), build_top_level_waveform(
+            ir.Captured("fcap", ir.Fin(
+                ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(),
+                                 ir.Const(0.5)), ir.Const(0.5))), 0.0))
+        t.play(WaveformId.program(1), build_top_level_waveform(
+            ir.Sine(ir.Const(5.0), ir.Const(0.0)), 0.0))
+    want = [ref.render_block()[0] for _ in range(16)]
+    got = [fus.render_block()[0] for _ in range(16)]
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(g) for g in got]),
+        np.concatenate([np.asarray(w) for w in want]), atol=1e-6)
+    a = read_wav(tmp_path / "fcap.wav")[0]
+    b = read_wav(tmp_path / "f" / "fcap.wav")[0]
+    np.testing.assert_allclose(b, a, atol=1e-6)
+    # Levels resolved for both voices through the fused deferred path.
+    lv = {v.id: v.level_rms for v in fus.active}
+    assert lv and all(x > 0 for x in lv.values())

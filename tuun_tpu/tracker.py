@@ -453,6 +453,24 @@ class Tracker:
         from .metric import Metric
         self.load_metric = Metric()
         self.dispatch_metric = Metric()
+        # Fused session step: host enqueue costs ~2.5 ms per dispatch on
+        # the tunnel regardless of content, so a live 1024-sample-block
+        # session with V distinct voice structures pays V dispatches per
+        # 23 ms block. When the voice set stays structurally stable for
+        # `fuse_after` consecutive blocks, the whole set (singles +
+        # groups) compiles into ONE jitted step — one enqueue per block.
+        # Any set change falls back to per-voice dispatch instantly; the
+        # fused executable is cached per set for re-engagement.
+        self.fuse = jit
+        self.fuse_after = 2
+        # True: compile the fused step inline instead of on a worker
+        # (deterministic engagement for tests; live streams keep False).
+        self.fuse_blocking = False
+        self._fuse_key = None
+        self._fuse_count = 0
+        self._fused_cache: Dict[Any, Any] = {}
+        self._scalar_cache: Dict[int, Any] = {}
+        self._pack_jit: Dict[Any, Any] = {}
 
     @property
     def known_end(self) -> Optional[int]:
@@ -634,6 +652,187 @@ class Tracker:
                     np.asarray(cy[cs_i:cv_i], np.float32))
         return np.asarray(y, np.float32)
 
+    # -- fused session step --------------------------------------------
+
+    def _scalar(self, i: int):
+        got = self._scalar_cache.get(i)
+        if got is None:
+            import jax.numpy as jnp
+            got = jnp.int32(i)
+            if len(self._scalar_cache) < 256:
+                self._scalar_cache[i] = got
+        return got
+
+    @staticmethod
+    def _group_fast_lits(g: VoiceGroup):
+        """The (fast, lits) normalization batched_render_fn applies."""
+        fast = g.fast and g.compiled.relocatable
+        lits = g.lits
+        if fast and lits is None:
+            fast = g.compiled._lens_fn is None
+            lits = () if fast else None
+        return fast, lits
+
+    def _fused_set_key(self, n: int):
+        """Stable identity of the current voice set for the fused step,
+        or None when fusing doesn't apply (mesh-sharded groups keep their
+        own executables; a single member has no dispatch to save)."""
+        if any(g.mesh is not None for g in self._groups):
+            return None
+        if len(self._singles) + len(self._groups) < 2:
+            return None
+        parts = []
+        for v in self._singles:
+            fast, lits = v.compiled._resolve_fast(v.fast, v.params, v.lits)
+            parts.append(("s", id(v.compiled), fast, lits))
+        for g in self._groups:
+            fast, lits = self._group_fast_lits(g)
+            parts.append(("g", id(g.compiled), fast, lits, len(g.voices)))
+        return (n, self.report_levels, tuple(parts))
+
+    def _build_fused_step(self, n: int):
+        """One jitted function rendering EVERY current member (singles +
+        groups) and mixing on device: per-dispatch host enqueue cost
+        (~2.5 ms on the tunnel, independent of content) is the live
+        tracker's bottleneck at 1024-sample blocks, so the whole set
+        becomes one dispatch.  Members are read positionally from the
+        flat argument list; the cache key pins the member structures."""
+        import jax
+        import jax.numpy as jnp
+        from functools import partial as _partial
+
+        from .engine.pallas_ops import pallas_available
+
+        levels = self.report_levels
+        impls = []
+        for v in self._singles:
+            fast, lits = v.compiled._resolve_fast(v.fast, v.params, v.lits)
+            impls.append(("s", _partial(v.compiled._render_impl, n, fast,
+                                        lits)))
+        for g in self._groups:
+            fast, lits = self._group_fast_lits(g)
+            impls.append(("g", _partial(g.compiled._render_impl, n, fast,
+                                        lits)))
+
+        def step(*flat):
+            acc = None
+            outs = []
+            for k, (kind, impl) in enumerate(impls):
+                P, st, s_, e_ = flat[4 * k:4 * k + 4]
+                if kind == "s":
+                    y, v, st2, caps = impl(P, st, s_, e_)
+                    mixed = y
+                else:
+                    y, v, st2, caps = jax.vmap(
+                        impl, in_axes=(0, 0, 0, None))(P, st, s_, e_)
+                    mixed = jnp.sum(y, axis=0)
+                acc = mixed if acc is None else acc + mixed
+                lv = None
+                if levels:
+                    ax = None if kind == "s" else 1
+                    lv = (jnp.sqrt(jnp.mean(y * y, axis=ax)),
+                          jnp.max(jnp.abs(y), axis=ax))
+                outs.append((v, st2, caps, lv))
+            return acc, outs
+
+        donate = tuple(4 * k + 1 for k in range(len(impls))) \
+            if pallas_available() else ()
+        return step, donate
+
+    def _fused_fn(self, key, n: int, args) -> Optional[Any]:
+        """The fused executable for `key`, compiling it on a background
+        thread on first request: a 4-voice fused step can take minutes to
+        compile on the TPU, and a live stream must keep serving blocks
+        through the per-voice path meanwhile.  Returns None until the
+        executable is ready."""
+        import threading
+
+        import jax
+
+        ent = self._fused_cache.get(key)
+        if ent is None:
+            # The closure is built on THIS thread so it reads a
+            # consistent member list; only trace+compile run in the
+            # background.
+            step, donate = self._build_fused_step(n)
+            jitted = jax.jit(step, donate_argnums=donate) \
+                if self.cfg.jit else None
+            ent = {"fn": None, "failed": False}
+            self._fused_cache[key] = ent
+            if jitted is None:
+                ent["fn"] = step
+                return step
+
+            def work():
+                try:
+                    # AOT: trace+compile without executing, then publish.
+                    ent["fn"] = jitted.lower(*args).compile()
+                except Exception:
+                    try:  # fall back to the lazily-compiled callable
+                        ent["fn"] = jitted
+                    except Exception:
+                        ent["failed"] = True
+
+            if self.fuse_blocking:
+                work()  # tests: deterministic engagement
+            else:
+                threading.Thread(target=work, daemon=True).start()
+        return None if ent["failed"] else ent["fn"]
+
+    def _render_all_fused(self, key, n: int, block_start: int, defer: bool):
+        """Renders the whole set through the fused step, or returns None
+        when its executable is still compiling (caller falls back to the
+        per-voice path for this block)."""
+        import jax.numpy as jnp
+
+        e_dev = self._scalar(n)
+        args: List = []
+        for v in self._singles:
+            args += [v.params, v.state,
+                     self._scalar(max(v.start - block_start, 0)), e_dev]
+        for g in self._groups:
+            starts = tuple(max(v.start - block_start, 0)
+                           for v in g.voices)
+            cache = getattr(g, "_fused_starts", None)
+            if cache is None or cache[0] != starts:
+                g._fused_starts = (starts,
+                                   jnp.asarray(starts, jnp.int32))
+                cache = g._fused_starts
+            args += [g.bparams, g.bstate, cache[1], e_dev]
+        fn = self._fused_fn(key, n, args)
+        if fn is None:
+            return None
+        mix, outs = fn(*args)
+        idx = 0
+        for v in self._singles:
+            val, st2, caps, lv = outs[idx]
+            idx += 1
+            v.state = st2
+            if defer:
+                v._pending_v.append((val, n))
+                if lv is not None:
+                    v._pending_levels.append(lv)
+                if caps:
+                    v._pending_caps.append(caps)
+                continue
+            vi = int(val)
+            if vi < n:
+                v.finished = True
+            if lv is not None:
+                v.level_rms = float(lv[0])
+                v.level_peak = float(lv[1])
+            for stem, (cy, cs, cv) in caps.items():
+                cs_i, cv_i = int(cs), int(cv)
+                if cv_i > cs_i:
+                    v.captures.setdefault(stem, []).append(
+                        np.asarray(cy[cs_i:cv_i], np.float32))
+        for g in self._groups:
+            val, st2, caps, lv = outs[idx]
+            idx += 1
+            g.bstate = st2
+            g._pending.append((val, caps, lv))
+        return mix
+
     def render_block(self) -> Tuple[np.ndarray, Status]:
         """Renders the next block of `block_size` samples (the audio
         callback: tracker.rs:321-368 + generate:484-644)."""
@@ -672,16 +871,28 @@ class Tracker:
         # until the next sync retires them).
         defer = self.sync_interval > 1
         acc = None
-        for voice in self._singles:
-            s = max(voice.start - block_start, 0)
-            y = self._render_voice(voice, n, s, defer=defer)
-            acc = y if acc is None else acc + y
-        for group in self._groups:
-            starts = [max(v.start - block_start, 0) for v in group.voices]
-            y_sum, v_arr, caps, lv = group.render(
-                n, starts, n, levels=self.report_levels)
-            group._pending.append((v_arr, caps, lv))
-            acc = y_sum if acc is None else acc + y_sum
+        fused_key = self._fused_set_key(n) if self.fuse else None
+        if fused_key is not None and fused_key == self._fuse_key:
+            self._fuse_count += 1
+        else:
+            self._fuse_key, self._fuse_count = fused_key, 0
+        fused = fused_key is not None and \
+            self._fuse_count >= self.fuse_after
+        if fused:
+            acc = self._render_all_fused(fused_key, n, block_start, defer)
+            fused = acc is not None  # None: still compiling, fall back
+        if not fused:
+            for voice in self._singles:
+                s = max(voice.start - block_start, 0)
+                y = self._render_voice(voice, n, s, defer=defer)
+                acc = y if acc is None else acc + y
+            for group in self._groups:
+                starts = [max(v.start - block_start, 0)
+                          for v in group.voices]
+                y_sum, v_arr, caps, lv = group.render(
+                    n, starts, n, levels=self.report_levels)
+                group._pending.append((v_arr, caps, lv))
+                acc = y_sum if acc is None else acc + y_sum
         # Exact retirement: voices with a known total length finish the
         # moment their final block has been rendered — no device fetch.
         for voice in self.active:
@@ -690,7 +901,8 @@ class Tracker:
                 voice.finished = True
         # Count dispatches before the sync prunes voices that finished
         # inside this very block.
-        dispatches = len(self._singles) + len(self._groups)
+        dispatches = 1 if fused else \
+            len(self._singles) + len(self._groups)
         self.now = block_end
         self._since_sync += 1
         if not defer:
@@ -720,18 +932,36 @@ class Tracker:
         self.dispatch_metric.set(float(status.dispatches))
         return out, status
 
+    def _pack(self, xs: List):
+        """One jitted concatenate of the window's deferred scalars.
+        Packing eagerly (one atleast_1d/astype op per scalar) costs an
+        enqueue round per element — measured ~160 ms per 64-element sync
+        window through the tunnel, which dominated the whole streaming
+        block budget.  The jitted pack is one dispatch, cached on the
+        window's shape signature."""
+        import jax
+        import jax.numpy as jnp
+
+        sig = tuple((getattr(x, "shape", ()), str(getattr(x, "dtype", "?")))
+                    for x in xs)
+        fn = self._pack_jit.get(sig)
+        if fn is None:
+            def pack(*ys):
+                return jnp.concatenate(
+                    [jnp.atleast_1d(y).astype(jnp.float32) for y in ys])
+            fn = jax.jit(pack) if self.cfg.jit else pack
+            if len(self._pack_jit) < 64:
+                self._pack_jit[sig] = fn
+        return fn(*xs)
+
     def _stage_pending(self):
         """Packs all queued valid-ends into one device array, starts its
         async copy to host, and returns (packed, plan) where plan describes
         how to unpack. The blocking resolution happens one sync window
         later, so the copy latency overlaps with rendering."""
-        import jax.numpy as jnp
         flat: List = []
         plan: List = []  # ("single", voice, e) | ("group", group, caps)
-        f32 = jnp.float32  # one packed dtype; ints < 2^24 stay exact
-
-        def put(x):
-            flat.append(jnp.atleast_1d(x).astype(f32))
+        put = flat.append  # raw values; one jitted pack at the end
 
         for voice in self._singles:
             for (v, e) in voice._pending_v:
@@ -758,7 +988,7 @@ class Tracker:
             group._pending = []
         if not flat:
             return None
-        packed = jnp.concatenate(flat)
+        packed = self._pack(flat)
         try:
             packed.copy_to_host_async()
         except Exception:
