@@ -24,6 +24,10 @@ sys.path.insert(0, str(HERE))
 
 import jax  # noqa: E402
 
+from tuun_tpu.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
+
 from tuun_tpu import ir, optimizer  # noqa: E402
 from tuun_tpu.engine import CompiledVoice, EngineConfig  # noqa: E402
 from tuun_tpu.evaluator import Evaluator  # noqa: E402

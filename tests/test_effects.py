@@ -151,3 +151,29 @@ def test_exit_sets_flag_and_persists(tmp_path):
     runner.dispatch(A.Exit())
     assert runner.state.should_exit
     assert "0.25" in runner.state.programs.input_path.read_text()
+
+
+def test_save_all_and_reload_keys(tmp_path):
+    runner, tracker, logs = make_runner(tmp_path)
+    state = runner.state
+    # Move a slider, save via the S key, then hand-edit the file and
+    # reload via R — the runner must pick up the disk contents.
+    runner.dispatch(A.SetSliderNormalized(0, 0, 1.0))
+    runner.dispatch(A.SaveAll())
+    saved = state.programs.input_path.read_text()
+    assert '"gain:1:0:1"' in saved
+    path = state.programs.input_path
+    path.write_text(saved.replace("1 * gain", "0.125 * gain"))
+    runner.dispatch(A.ReloadFile())
+    assert "0.125 * gain" in state.programs.source
+    runner.dispatch(A.PlayProgram(0))
+    mix, _ = render(tracker)
+    np.testing.assert_allclose(mix, 0.125, atol=1e-5)
+
+
+def test_keymap_save_reload_bindings(tmp_path):
+    from tuun_tpu import keymap
+    runner, _, _ = make_runner(tmp_path)
+    assert keymap.classify_key(runner.state, "S") == [A.SaveAll()]
+    assert keymap.classify_key(runner.state, "R") == [A.ReloadFile()]
+    assert keymap.classify_key(runner.state, "L") == [A.ReloadFile()]

@@ -369,6 +369,20 @@ class CycleRepeatAfterMeasures:
 
 
 @dataclass(frozen=True)
+class SaveAll:
+    """Persist slider/level annotations for every program and write the
+    source file (the reference's S key, README.md:66-69)."""
+    pass
+
+
+@dataclass(frozen=True)
+class ReloadFile:
+    """Re-read the source file from disk, replacing programs (the
+    reference's R/L keys: reload context, load programs)."""
+    pass
+
+
+@dataclass(frozen=True)
 class ShowMessage:
     message: str
 
@@ -455,6 +469,16 @@ class EUpdateActiveKeySliders:
 @dataclass(frozen=True)
 class EModifyActiveKeysAmplitude:
     amplitude: float
+
+
+@dataclass(frozen=True)
+class ESaveAll:
+    pass
+
+
+@dataclass(frozen=True)
+class EReloadFile:
+    pass
 
 
 @dataclass(frozen=True)
@@ -706,6 +730,10 @@ def apply(state: AppState, ctx: Context, action) -> List[object]:
         state.repeat_after_measures = nxt
         return [EShowMessage(msg)]
 
+    if isinstance(action, SaveAll):
+        return [ESaveAll()]
+    if isinstance(action, ReloadFile):
+        return [EReloadFile()]
     if isinstance(action, ShowMessage):
         return [EShowMessage(action.message)]
     if isinstance(action, DumpActiveWaveform):

@@ -85,6 +85,8 @@ def resolve_library_root(args) -> Path:
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
+    from .compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
     if args.platform is not None:
         import jax
         jax.config.update("jax_platforms", args.platform)

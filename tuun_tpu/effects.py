@@ -168,6 +168,27 @@ class EffectRunner:
             for key in list(self._note_offs):
                 self.tracker.modify(WaveformId.key(key), MarkId.AMPLITUDE,
                                     ir.Const(effect.amplitude))
+        elif isinstance(effect, A.ESaveAll):
+            for i, p in enumerate(ps.programs):
+                if not p.is_empty() and p.sliders.configs:
+                    err = ps.persist_annotations(i)
+                    if err:
+                        self._show(f"warning: {err}")
+            if ps.input_path is not None:
+                ps.save()
+                self._show(f"saved {ps.input_path}")
+        elif isinstance(effect, A.EReloadFile):
+            if ps.input_path is None:
+                self._show("no file to reload")
+                return
+            fresh, message = type(ps).from_source(
+                ps.input_path.read_text(), ps.input_path,
+                all_bindings=ps._all_bindings)
+            state.programs = fresh
+            state.keys_program = None
+            self._keys_fn = None
+            self.invalidate()
+            self._show(message or f"reloaded {ps.input_path}")
         elif isinstance(effect, A.EShowMessage):
             self._show(effect.message)
         elif isinstance(effect, A.EDumpActiveWaveform):

@@ -96,6 +96,10 @@ def classify_key(state: A.AppState, chord: str,
             return [A.ToggleInstalledKeys(i)]
         if key == "k":
             return [A.EnterKeysMode()]
+        if key == "S":
+            return [A.SaveAll()]
+        if key in ("R", "L"):
+            return [A.ReloadFile()]
         if key.isdigit() and 1 <= int(key) <= PROGRAMS_PER_BANK:
             return [A.SelectProgram(state.bank_start() + int(key) - 1)]
         return []

@@ -362,6 +362,8 @@ class Repl:
 
 
 def main(argv=None) -> int:
+    from .compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
     args = argv if argv is not None else sys.argv[1:]
     repl = Repl()
     if args:
