@@ -177,3 +177,18 @@ def test_keymap_save_reload_bindings(tmp_path):
     assert keymap.classify_key(runner.state, "S") == [A.SaveAll()]
     assert keymap.classify_key(runner.state, "R") == [A.ReloadFile()]
     assert keymap.classify_key(runner.state, "L") == [A.ReloadFile()]
+
+
+def test_note_off_after_uninstall_does_not_crash(tmp_path):
+    """A held key released after the instrument is uninstalled (or the
+    file reloaded) must still splice its stored note-off, not crash on
+    the missing keys program."""
+    runner, tracker, _ = make_runner(tmp_path)
+    runner.dispatch(A.ToggleInstalledKeys(1))
+    runner.dispatch(A.NoteOn(60, 127))
+    runner.dispatch(A.ToggleInstalledKeys(1))  # uninstall, key still held
+    assert runner.state.keys_program is None
+    runner.dispatch(A.NoteOff(60))             # must not raise
+    assert 60 not in runner._note_offs
+    mix, _ = render(tracker, blocks=3)
+    assert np.abs(mix[12:]).max() == 0.0

@@ -208,3 +208,47 @@ def test_async_precompute_bake_failure_plays_unbaked(tmp_path, monkeypatch):
     mix = r.rendered[-1]
     assert np.allclose(mix[400:450], 1.0, atol=1e-6)
     r.dispatch("quit")
+
+
+def test_stop_cancels_inflight_async_bake(tmp_path, monkeypatch):
+    """A 'stopped' program must not come back to life when its
+    next-measure bake completes after the stop."""
+    import threading
+
+    from tuun_tpu.engine import precompute as precompute_mod
+
+    release = threading.Event()
+    real = precompute_mod.precompute
+
+    def slow_precompute(w, sample_rate, seed=0, cfg=None):
+        assert release.wait(timeout=10)
+        return real(w, sample_rate, seed=seed, cfg=cfg)
+
+    monkeypatch.setattr(precompute_mod, "precompute", slow_precompute)
+    r, out, _ = make_repl(tmp_path)
+    r.dispatch("play A2 measure")   # bake in flight
+    r.dispatch("stop")              # global stop: cancels the bake
+    release.set()
+    assert r.player.flush_bakes() == 0
+    r.dispatch("render 5.0")
+    assert np.allclose(r.rendered[-1], 0.0)
+    # A fresh play after the cancellation still works.
+    r.dispatch("play A2 measure")
+    assert r.player.flush_bakes() == 1
+    r.dispatch("quit")
+
+
+def test_stop_one_cancels_only_that_programs_bake(tmp_path, monkeypatch):
+    from tuun_tpu.engine import precompute as precompute_mod
+
+    monkeypatch.setattr(
+        precompute_mod, "precompute",
+        lambda w, sample_rate, seed=0, cfg=None: w)
+    r, out, _ = make_repl(tmp_path)
+    r.dispatch("play A1 measure")
+    r.dispatch("play A2 measure")
+    r.player._bake_in.join()        # both baked, not yet pumped
+    r.dispatch("stop A2")
+    assert r.player.flush_bakes() == 1  # only A1 survives
+    assert [str(p.id) for p in r.tracker.pending] == ["program(0)"]
+    r.dispatch("quit")

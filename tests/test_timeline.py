@@ -130,3 +130,40 @@ def test_tracker_modify_timeline_voice_falls_back_and_keeps_time():
     np.testing.assert_allclose(y2, 2.0)
     out = t.run_to_completion()
     np.testing.assert_allclose(out[: 8 * 40 - 128], 2.0)
+
+
+def _render_cfg(w, n, timeline=True, seed=0):
+    cfg = EngineConfig(SR, precision="fast", seed=seed, jit=True,
+                       timeline=timeline)
+    v = CompiledVoice(w, cfg)
+    P = v.params(seed)
+    state = v.init(P)
+    y, valid, state, _ = v.render_block(P, state, n, 0, n)
+    return np.asarray(y[:int(valid)], np.float32)
+
+
+def test_nested_merge_leaf_renders_and_matches_plain(ev):
+    """A score whose repeated leaf itself contains a Merge tree (a
+    sub-phrase behind a non-Merge boundary) must render — the stacked
+    per-lane parameter path cannot express a nested timeline, so such
+    leaves fall back rather than crash."""
+    phrase = "<[" + ", ".join(
+        f"{v} | fin(time - 0.01) | seq(time - 0.01)"
+        for v in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6)) + "]>"
+    spacers = ", ".join(["0 | fin(time - 0.02) | seq(time - 0.02)"] * 4)
+    w = _w(ev, f"<[{phrase} * 0.5, {spacers}, {phrase} * 0.5]>")
+    got = _render_cfg(w, 1600)
+    want = _render_cfg(w, 1600, timeline=False)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    _diff(w, 1600)  # and the oracle agrees
+
+
+def test_noise_uids_match_plain_compile(ev):
+    """CNoise uids follow the plain compile's pre-order numbering, so a
+    noise-bearing score produces bit-identical noise streams under
+    timeline=True and timeline=False (the Modify replay contract)."""
+    segs = ", ".join(["0.5 | fin(time - 0.02) | seq(time - 0.02)"] * 6)
+    w = _w(ev, f"<[{segs}]> + (noise * 0.25)")
+    got = _render_cfg(w, 800, seed=7)
+    want = _render_cfg(w, 800, timeline=False, seed=7)
+    np.testing.assert_array_equal(got, want)

@@ -56,8 +56,15 @@ class EffectRunner:
         self.last_status = status
 
     def context(self) -> A.Context:
-        return A.Context(status=self.tracker.status_snapshot(),
-                         now=self.tracker.now, evaluator=self.evaluator)
+        from .tracker import Mark
+        status = self.tracker.status_snapshot()
+        # Bakes still in flight are plays the tracker cannot see yet;
+        # surface them as pending marks so the reducer's toggle/remove
+        # logic reaches them (removal then cancels the bake).
+        for wid, start in self.player.pending_bakes():
+            status.marks.append(Mark(wid, MarkId.TOP_LEVEL, start, 0))
+        return A.Context(status=status, now=self.tracker.now,
+                         evaluator=self.evaluator)
 
     # -- dispatch -------------------------------------------------------
 
@@ -110,6 +117,8 @@ class EffectRunner:
         elif isinstance(effect, A.EStopProgram):
             self.player.stop(WaveformId.program(effect.program_index))
         elif isinstance(effect, A.ERemovePendingProgram):
+            self.player.cancel_bakes(
+                WaveformId.program(effect.program_index))
             self.tracker.remove_pending(
                 WaveformId.program(effect.program_index))
         elif isinstance(effect, A.EModifyWaveform):
@@ -206,7 +215,12 @@ class EffectRunner:
     # -- notes / sliders -----------------------------------------------
 
     def _keys_sliders(self):
+        """The installed keys program's sliders — empty when the
+        instrument was uninstalled/reloaded while keys are still held
+        (their stored note-offs must keep working)."""
         i = self.state.keys_program
+        if i is None or i >= len(self.state.programs.programs):
+            return None, (), ()
         program = self.state.programs.programs[i]
         return program, program.sliders.configs, \
             program.sliders.normalized_values
@@ -215,6 +229,8 @@ class EffectRunner:
         if self._keys_fn is None:
             return
         program, configs, normalized = self._keys_sliders()
+        if program is None:
+            return
         note_on, note_off = self.evaluator.apply_note_function(
             self._keys_fn, [EFloat(float(key)),
                             EFloat(float(velocity) / 127.0)])

@@ -109,17 +109,41 @@ def try_compile_timeline(compiler, w: ir.Waveform, path):
     if len(leaves_ir) < MIN_LEAVES:
         return None
 
-    infos: List[LeafInfo] = []
-    for i, lw in enumerate(leaves_ir):
-        c0 = len(compiler.const_values)
-        f0 = len(compiler.fins)
-        node = compiler.compile(lw, path + (i,))
-        c1 = len(compiler.const_values)
-        f1 = len(compiler.fins)
-        infos.append(LeafInfo(
-            node=node, w=lw, c0=c0, c1=c1, f0=f0, f1=f1,
-            const_idx=_const_content_index(lw, c0, c1),
-            stackable=not _contains(lw, (ir.Noise, ir.Fixed))))
+    # Compile leaves in the SAME pre-order uid sequence as the normal
+    # recursive compile: every interior Merge/Append consumes one uid
+    # (the top node's was burned by _compile before this call), so
+    # CNoise uids — and therefore noise streams — are identical between
+    # timeline and plain compiles (the Modify params-transfer contract).
+    infos_by_index: Dict[int, LeafInfo] = {}
+
+    def walk_compile(d, is_root: bool) -> None:
+        if d[0] == "leaf":
+            i = d[1]
+            lw = leaves_ir[i]
+            c0 = len(compiler.const_values)
+            f0 = len(compiler.fins)
+            had_tl = compiler.has_timeline
+            compiler.has_timeline = False
+            node = compiler.compile(lw, path + (i,))
+            nested_tl = compiler.has_timeline
+            compiler.has_timeline = had_tl or nested_tl
+            infos_by_index[i] = LeafInfo(
+                node=node, w=lw, c0=c0, c1=len(compiler.const_values),
+                f0=f0, f1=len(compiler.fins),
+                const_idx=_const_content_index(
+                    lw, c0, len(compiler.const_values)),
+                # Nested timelines inside a leaf cannot take the
+                # per-lane parameter-table gathers of the stacked path.
+                stackable=not _contains(lw, (ir.Noise, ir.Fixed))
+                and not nested_tl)
+            return
+        if not is_root:
+            compiler.uid += 1
+        walk_compile(d[1], False)
+        walk_compile(d[2], False)
+
+    walk_compile(desc, True)
+    infos = [infos_by_index[i] for i in range(len(leaves_ir))]
 
     fallback = _build_fallback(compiler.cfg, desc, infos)
     # Eligibility: every leaf must be a pure function of local time.
@@ -341,7 +365,6 @@ class CTimeline:
         entries, total = sched
         pallas = self.cfg.pallas and li0 is not None
 
-        lif = li.astype(jnp.float32)
         y = jnp.zeros(li.shape, jnp.float32)
 
         # Constant-content leaves: a piecewise-constant function of the
@@ -360,9 +383,16 @@ class CTimeline:
                 y = y + _step_sum(li0, n, np.concatenate([offs, ends]),
                                   jnp.concatenate([vals, -vals]), pallas)
             else:
-                inr = (lif[None, :] >= offs[:, None].astype(np.float32)) & \
-                    (lif[None, :] < ends[:, None].astype(np.float32))
-                y = y + jnp.sum(vals[:, None] * inr, axis=0)
+                # Gate on the int32 stream position: f32 lane indices
+                # lose sample accuracy past 2^24 (~6.3 min at 44.1 kHz).
+                oc = jnp.asarray(offs.clip(-2**31 + 1, 2**31 - 1)
+                                 .astype(np.int32))
+                ec = jnp.asarray(ends.clip(-2**31 + 1, 2**31 - 1)
+                                 .astype(np.int32))
+                inr = (li[None, :] >= oc[:, None]) & \
+                    (li[None, :] < ec[:, None])
+                y = y + jnp.sum(vals[:, None] * inr.astype(jnp.float32),
+                                axis=0)
 
         # Structured leaves: group by structure, layer by overlap, one
         # evaluation per layer.
@@ -374,20 +404,21 @@ class CTimeline:
                               []).append((i, off, end))
         for group in by_key.values():
             for layer in _layer_partition(group):
-                y = y + self._eval_layer(P, li, lif, lits, layer, li0, n,
+                y = y + self._eval_layer(P, li, lits, layer, li0, n,
                                          pallas)
 
         return (G._len_mask(li, y, total) if total is not None else y,
                 total)
 
-    def _eval_layer(self, P, li, lif, lits, layer, li0, n, pallas):
+    def _eval_layer(self, P, li, lits, layer, li0, n, pallas):
         import jax.numpy as jnp
         from . import graph as G
 
         if len(layer) == 1:
             i, off, _ = layer[0]
             ys, _ = self.infos[i].node.reloc(P, li - off, lits)
-            return jnp.where(lif >= float(off), ys, 0.0)
+            # int32 gate: f32 positions drift past 2^24 samples.
+            return jnp.where(li >= jnp.int32(off), ys, 0.0)
 
         rep = self.infos[layer[0][0]]
         offs = np.array([off for (_, off, _) in layer], np.int32)
@@ -398,8 +429,8 @@ class CTimeline:
                             np.ones(len(layer), np.float32), pallas)
             pos = cnt.astype(jnp.int32) - 1
         else:
-            offs_f = jnp.asarray(offs.astype(np.float32))
-            pos = jnp.sum((lif[None, :] >= offs_f[:, None])
+            offs_i = jnp.asarray(offs)
+            pos = jnp.sum((li[None, :] >= offs_i[:, None])
                           .astype(jnp.float32), axis=0).astype(jnp.int32) - 1
         pos = jnp.clip(pos, 0, len(layer) - 1)
         local = li - jnp.take(jnp.asarray(offs), pos)
@@ -422,7 +453,7 @@ class CTimeline:
                 for (i, _, _) in layer])                      # [S, F]
             lane_lits = _LaneLits(lits, rep.f0, ftab, pos)
         ys, _ = rep.node.reloc(laneP, local, lane_lits)
-        return jnp.where(lif >= float(offs.min()), ys, 0.0)
+        return jnp.where(li >= jnp.int32(int(offs.min())), ys, 0.0)
 
     # -- Node protocol ---------------------------------------------------
 
@@ -433,6 +464,10 @@ class CTimeline:
     def _valid_end(self, P, lits, pos, s, e):
         import jax.numpy as jnp
         sched = self._sched_for(P, lits)
+        if sched is None:
+            raise RuntimeError(
+                "timeline schedule not literal for these lits; compile "
+                "with EngineConfig(timeline=False)")
         _, total = sched
         if total is None:
             return e + jnp.int32(0)

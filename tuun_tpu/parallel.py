@@ -86,13 +86,13 @@ def _render_reloc_lane_sharded(voice, params, n_samples: int, mesh,
         in_specs=(vspec, vspec, PartitionSpec()),
         out_specs=PartitionSpec("time")))
 
-    # Total length: the reloc length (traced cutoffs) per voice, reduced
-    # once on device; None from any component means infinite.
+    # Total length: finiteness is structural (all same-structure voices
+    # share it), so one reloc call on params[0] answers the None check;
+    # the per-voice lengths reduce inside one jitted max.
     def length_of(p):
         _, L = voice.root.reloc(p, jnp.zeros(1, jnp.int32), None)
         return None if L is None else jnp.asarray(L, jnp.int32)
-    lens = [length_of(p) for p in params[:V]]
-    if any(ln is None for ln in lens):
+    if length_of(params[0]) is None:
         total = n_samples
     else:
         total = min(n_samples, int(jax.jit(

@@ -87,6 +87,16 @@ class Player:
         self._bake_in: Optional[queue.Queue] = None
         self._bake_out: queue.Queue = queue.Queue()
         self._bake_thread: Optional[threading.Thread] = None
+        # Cancellation: a stop/remove-pending must also kill bakes still
+        # in flight for that voice (they carry a Play the tracker hasn't
+        # seen yet).  Items carry a monotonically increasing token; pump
+        # drops any whose token predates the voice's cancellation mark.
+        self._bake_token = 0
+        self._bake_cancelled: dict = {}
+        # token -> (wid, start) for bakes not yet pumped: surfaced as
+        # pending marks so the reducer's remove-pending/toggle logic can
+        # see (and cancel) plays the tracker hasn't received yet.
+        self._bake_inflight: dict = {}
 
     @property
     def sample_rate(self) -> int:
@@ -140,7 +150,10 @@ class Player:
                 # start is fixed now, and a bake that overshoots the
                 # boundary is absorbed by late-start catch-up.
                 self._ensure_worker()
-                self._bake_in.put((wid, w, level_db, start, repeat))
+                self._bake_token += 1
+                self._bake_inflight[self._bake_token] = (wid, start)
+                self._bake_in.put((self._bake_token, wid, w, level_db,
+                                   start, repeat))
                 return
             from .engine.precompute import precompute as engine_precompute
             w = engine_precompute(w, self.sample_rate,
@@ -164,28 +177,54 @@ class Player:
             if item is None:
                 self._bake_in.task_done()
                 return
-            wid, w, level_db, start, repeat = item
+            token, wid, w, level_db, start, repeat = item
             try:
                 baked = precompute_mod.precompute(w, self.sample_rate,
                                                   cfg=self.tracker.cfg)
             except Exception:
                 baked = w  # a failed bake plays unbaked, never silently
-            self._bake_out.put((wid, baked, level_db, start, repeat))
+            self._bake_out.put((token, wid, baked, level_db, start, repeat))
             self._bake_in.task_done()
+
+    def cancel_bakes(self, wid=None) -> None:
+        """Cancels in-flight next-measure bakes (all of them, or one
+        voice's): a stopped program must not come back to life when its
+        bake completes."""
+        mark = self._bake_token
+        if wid is None:
+            self._bake_cancelled = {None: mark}
+            self._bake_inflight.clear()
+        else:
+            self._bake_cancelled[wid] = mark
+            for token, (w_, _) in list(self._bake_inflight.items()):
+                if w_ == wid and token <= mark:
+                    self._bake_inflight.pop(token, None)
 
     def pump(self) -> int:
         """Drains finished bakes into the tracker; call at each block
         boundary (the audio callback's command drain).  Returns the number
-        of commands submitted."""
+        of commands submitted (cancelled bakes are dropped)."""
         n = 0
         while True:
             try:
-                wid, w, level_db, start, repeat = self._bake_out.get_nowait()
+                token, wid, w, level_db, start, repeat = \
+                    self._bake_out.get_nowait()
             except queue.Empty:
                 return n
+            self._bake_inflight.pop(token, None)
+            cut = max(self._bake_cancelled.get(None, 0),
+                      self._bake_cancelled.get(wid, 0))
+            if token <= cut:
+                continue
             self.tracker.play(wid, build_top_level_waveform(w, level_db),
                               start=start, repeat_every=repeat)
             n += 1
+
+    def pending_bakes(self):
+        """(wid, start) for every bake still in flight — plays the
+        tracker cannot see yet; the EffectRunner surfaces these as
+        pending marks so the reducer can toggle/cancel them."""
+        return list(self._bake_inflight.values())
 
     def flush_bakes(self) -> int:
         """Waits for every outstanding bake and pumps it (deterministic
@@ -206,5 +245,11 @@ class Player:
 
     def stop(self, wid) -> None:
         """Fades the voice out over a short ramp."""
+        self.cancel_bakes(wid)
         self.tracker.modify(wid, MarkId.TERMINATOR, stop_ramp())
         self.tracker.remove_pending(wid)
+
+    def stop_all(self) -> None:
+        """Stops everything, including bakes still in flight."""
+        self.cancel_bakes()
+        self.tracker.stop_all()

@@ -88,6 +88,8 @@ class Repl:
             self.log(f"error: {e}")
         except TypeError as e:
             self.log(f"usage error: {e}")
+        if self.runner is not None and self.runner.state.should_exit:
+            self.cmd_quit()
 
     def run(self) -> None:
         self.log("tuun-tpu live session — 'help' for commands")
@@ -179,7 +181,7 @@ class Repl:
 
     def cmd_stop(self, name: str = ""):
         if not name:
-            self.tracker.stop_all()
+            self.player.stop_all()
             self.log("stopped everything")
             return
         index = self._slot(name)

@@ -471,6 +471,7 @@ class Tracker:
         self._fused_cache: Dict[Any, Any] = {}
         self._scalar_cache: Dict[int, Any] = {}
         self._pack_jit: Dict[Any, Any] = {}
+        self._levels_jit = None
 
     @property
     def known_end(self) -> Optional[int]:
@@ -631,10 +632,9 @@ class Tracker:
         if defer:
             voice._pending_v.append((v, e))
             if self.report_levels:
-                import jax.numpy as jnp
-                yd = jnp.asarray(y)
-                voice._pending_levels.append(
-                    (jnp.sqrt(jnp.mean(yd * yd)), jnp.max(jnp.abs(yd))))
+                # One jitted reduction pair — eager per-block jnp ops pay
+                # an enqueue round each (see _pack).
+                voice._pending_levels.append(self._levels_fn()(y))
             if caps:
                 voice._pending_caps.append(caps)
             return y
@@ -662,6 +662,19 @@ class Tracker:
             if len(self._scalar_cache) < 256:
                 self._scalar_cache[i] = got
         return got
+
+    def _levels_fn(self):
+        fn = self._levels_jit
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            def levels(y):
+                y = jnp.asarray(y)
+                return jnp.sqrt(jnp.mean(y * y)), jnp.max(jnp.abs(y))
+            fn = jax.jit(levels) if self.cfg.jit else levels
+            self._levels_jit = fn
+        return fn
 
     @staticmethod
     def _group_fast_lits(g: VoiceGroup):
