@@ -90,3 +90,17 @@ def test_all_bindings_mode(tmp_path):
     # both programs mixed: the constant 0.5 shifts the sine's first samples
     assert len(s) >= 20
     assert abs(float(s[0]) - 0.5) < 0.02
+
+
+def test_scope_tool_renders_png(tmp_path):
+    pytest.importorskip("matplotlib")
+    from tuun_tpu.tools import scope
+    from tuun_tpu.wav import write_wav_f32
+    import numpy as np
+    wav = tmp_path / "in.wav"
+    t = np.arange(800) / 100.0
+    write_wav_f32(wav, (1.2 * np.sin(2 * np.pi * 5 * t)).astype(np.float32),
+                  100)
+    out = tmp_path / "scope.png"
+    rc = scope.main([str(out), "--wav", str(wav)])
+    assert rc == 0 and out.stat().st_size > 1000
