@@ -239,11 +239,12 @@ def bench_instrument(expr="harmonica(10.0, 440)", seconds=8.0,
     return sps
 
 
-def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=16):
+def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=32):
     """Informational: the reference's actual operating point — the live
     Tracker streaming 1024-sample blocks (44.1 kHz mono, the tracker.rs
-    callback contract) with several mixed voices and pipelined syncs.
-    Reports the realtime headroom (the inverse of tracker_load)."""
+    callback contract) with several mixed voices, lookahead windows, and
+    pipelined syncs.  Reports the realtime headroom (1/tracker_load).
+    Window size sweep on the tunnel: 10x/62x/69x at 16/32/64."""
     from tuun_tpu.tracker import Tracker
     from tuun_tpu.ids import WaveformId
     from tuun_tpu.player import build_top_level_waveform

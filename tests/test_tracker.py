@@ -473,3 +473,100 @@ def test_fused_session_step_deferred_sync_levels_and_captures(tmp_path):
     # Levels resolved for both voices through the fused deferred path.
     lv = {v.id: v.level_rms for v in fus.active}
     assert lv and all(x > 0 for x in lv.values())
+
+
+def _window_tracker(fuse: bool, lookahead=4):
+    from tuun_tpu.player import build_top_level_waveform
+    t = Tracker(100, 16, precision="fast", jit=True, sync_interval=4)
+    t.fuse = fuse
+    t.fuse_blocking = True
+    t.lookahead = lookahead
+    t.play(WaveformId.program(0), build_top_level_waveform(
+        ir.Sine(ir.Const(3.0), ir.Const(0.0)), 0.0))
+    t.play(WaveformId.program(1), build_top_level_waveform(
+        ir.Fin(ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(),
+                                ir.Const(1.2)), ir.Const(0.25)), 0.0))
+    t.play(WaveformId.program(2), build_top_level_waveform(
+        ir.Sine(ir.Const(7.0), ir.Const(0.0)), 0.0))
+    return t
+
+
+def test_lookahead_window_matches_per_block():
+    """Steady-state streaming renders K blocks per dispatch; the served
+    mix must equal the per-block path, including a finite voice retiring
+    inside a window."""
+    blocks = 24
+    ref = _window_tracker(fuse=False, lookahead=1)
+    want = [np.asarray(ref.render_block()[0]) for _ in range(blocks)]
+    t = _window_tracker(fuse=True)
+    got, disp = [], []
+    for _ in range(blocks):
+        y, st = t.render_block()
+        got.append(np.asarray(y))
+        disp.append(st.dispatches)
+    np.testing.assert_allclose(np.concatenate(got), np.concatenate(want),
+                               atol=1e-6)
+    # Windows opened: an opening block counts 1 dispatch, serves count 0.
+    assert 0 in disp and disp.count(0) >= 6
+    # The finite voice (1.2s = 120 samples) retired.
+    assert all(v.id != WaveformId.program(1) for v in t.active)
+
+
+def test_lookahead_window_interrupt_modify_exact():
+    """A Modify mid-window interrupts: served sub-blocks replay so the
+    splice lands at exactly the commanded block boundary."""
+    from tuun_tpu import sliders as sliders_mod
+    blocks_before, blocks_after = 6, 10
+    ramp = sliders_mod.make_ramp(1.0, 0.0, 0.16)
+    outs = []
+    for fuse in (False, True):
+        t = _window_tracker(fuse=fuse, lookahead=4 if fuse else 1)
+        mix = [np.asarray(t.render_block()[0])
+               for _ in range(blocks_before)]
+        assert (t._window is not None) == fuse  # mid-window on the fused one
+        t.modify(WaveformId.program(0), MarkId.AMPLITUDE, ramp)
+        mix += [np.asarray(t.render_block()[0])
+                for _ in range(blocks_after)]
+        outs.append(np.concatenate(mix))
+    np.testing.assert_allclose(outs[1], outs[0], atol=1e-6)
+
+
+def test_lookahead_window_respects_pending_starts():
+    """A pending voice starting inside the would-be window keeps the
+    per-block path (no window may cross a promotion boundary)."""
+    from tuun_tpu.player import build_top_level_waveform
+    t = _window_tracker(fuse=True)
+    t.play(WaveformId.program(3), build_top_level_waveform(
+        ir.Sine(ir.Const(5.0), ir.Const(0.0)), 0.0), start=40)
+    ref = _window_tracker(fuse=False, lookahead=1)
+    ref.play(WaveformId.program(3), build_top_level_waveform(
+        ir.Sine(ir.Const(5.0), ir.Const(0.0)), 0.0), start=40)
+    got = np.concatenate([np.asarray(t.render_block()[0])
+                          for _ in range(12)])
+    want = np.concatenate([np.asarray(ref.render_block()[0])
+                           for _ in range(12)])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_group_survives_unrelated_retirement_without_rewind():
+    """Retiring an unrelated voice regroups the survivors; grouped
+    voices must NOT rewind to their last materialization point (their
+    progress lives in the group's batched state).  Checked against the
+    analytic signal, not another tracker path — all paths shared this
+    bug, so differential checks missed it."""
+    from tuun_tpu.player import build_top_level_waveform
+    t = Tracker(100, 16, precision="fast", jit=True, sync_interval=1)
+    t.fuse = False
+    t.play(WaveformId.program(0), build_top_level_waveform(
+        ir.Sine(ir.Const(3.0), ir.Const(0.0)), 0.0))
+    t.play(WaveformId.program(2), build_top_level_waveform(
+        ir.Sine(ir.Const(7.0), ir.Const(0.0)), 0.0))
+    t.play(WaveformId.program(1), build_top_level_waveform(
+        ir.Fin(ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(),
+                                ir.Const(1.2)), ir.Const(0.25)), 0.0))
+    mix = np.concatenate([np.asarray(t.render_block()[0])
+                          for _ in range(24)])
+    n = np.arange(len(mix))
+    expect = np.sin(3.0 * n / 100) + np.sin(7.0 * n / 100)
+    expect[:121] += 0.25
+    np.testing.assert_allclose(mix, expect, atol=1e-5)

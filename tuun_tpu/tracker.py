@@ -472,6 +472,11 @@ class Tracker:
         self._scalar_cache: Dict[int, Any] = {}
         self._pack_jit: Dict[Any, Any] = {}
         self._levels_jit = None
+        # Lookahead: steady-state streaming renders this many blocks per
+        # dispatch (None = sync_interval).  Commands interrupt the window
+        # with exact block granularity (see the window methods).
+        self.lookahead: Optional[int] = None
+        self._window: Optional[Dict[str, Any]] = None
 
     @property
     def known_end(self) -> Optional[int]:
@@ -495,6 +500,7 @@ class Tracker:
 
     def play(self, wid, waveform: ir.Waveform, start: Optional[int] = None,
              repeat_every: Optional[int] = None) -> None:
+        self._interrupt_window()
         start = self.now if start is None else start
         marks = collect_marks(waveform, self.sample_rate, wid, start)
         self.pending.append(Pending(wid, waveform, start, repeat_every, marks))
@@ -510,6 +516,7 @@ class Tracker:
 
     def modify(self, wid, mark_id, new_waveform: ir.Waveform) -> None:
         """Replaces the subtree under `mark_id`, carrying unchanged state."""
+        self._interrupt_window()
         self._materialize_groups()
         for voice in self.active:
             if voice.id == wid:
@@ -563,9 +570,11 @@ class Tracker:
                                         p.start)
 
     def remove_pending(self, wid) -> None:
+        self._interrupt_window()
         self.pending = [p for p in self.pending if p.id != wid]
 
     def stop_all(self) -> None:
+        self._interrupt_window()
         self._sync_voices()
         for voice in self.active:
             self._close_voice(voice)
@@ -843,8 +852,187 @@ class Tracker:
             val, st2, caps, lv = outs[idx]
             idx += 1
             g.bstate = st2
-            g._pending.append((val, caps, lv))
+            g._pending.append((val, caps, lv, n))
         return mix
+
+    # -- lookahead windows ---------------------------------------------
+    #
+    # Steady-state streaming renders K blocks ahead in ONE dispatch (a
+    # lax.scan over the fused session step) and serves the pre-rendered
+    # sub-blocks: per-block host cost drops to a buffer handoff.  Any
+    # command (play/modify/stop/remove-pending) interrupts the window —
+    # served blocks replay through the per-block fused path to rebuild
+    # the states at the consume point (the window fn never donates its
+    # inputs), so commands keep exact block granularity.
+
+    def _build_window_step(self, n: int, K: int):
+        """One render of K*n lanes per member — NOT a scan of K blocks:
+        per-kernel device launch overhead (~40 fusions per member) is the
+        floor at 1024-lane blocks, so the window multiplies the work per
+        launch instead of the launches (the engine renders any block
+        size; block-size invariance is a tested contract)."""
+        import jax
+        import jax.numpy as jnp
+        from functools import partial as _partial
+
+        levels = self.report_levels
+        nw = n * K
+        impls = []
+        for v in self._singles:
+            fast, lits = v.compiled._resolve_fast(v.fast, v.params, v.lits)
+            impls.append(("s", _partial(v.compiled._render_impl, nw, fast,
+                                        lits), None))
+        for g in self._groups:
+            fast, lits = self._group_fast_lits(g)
+            impls.append(("g", _partial(g.compiled._render_impl, nw, fast,
+                                        lits), len(g.voices) + g.pad))
+        s0 = jnp.int32(0)
+        e0 = jnp.int32(nw)
+
+        def win(*flat):
+            Ps = tuple(flat[0::2])
+            states = tuple(flat[1::2])
+            acc = None
+            vs = []
+            lvs = []
+            finals = []
+            for (kind, impl, B), P, st in zip(impls, Ps, states):
+                if kind == "s":
+                    y, v, st2, _caps = impl(P, st, s0, e0)
+                    mixed = y
+                    tail = y[nw - n:]
+                else:
+                    y, v, st2, _caps = jax.vmap(
+                        impl, in_axes=(0, 0, 0, None))(
+                            P, st, jnp.zeros(B, jnp.int32), e0)
+                    mixed = jnp.sum(y, axis=0)
+                    tail = y[:, nw - n:]
+                acc = mixed if acc is None else acc + mixed
+                vs.append(v)
+                if levels:
+                    # HUD levels refresh per window: last sub-block only.
+                    ax = None if kind == "s" else 1
+                    lvs.append((jnp.sqrt(jnp.mean(tail * tail, axis=ax)),
+                                jnp.max(jnp.abs(tail), axis=ax)))
+                finals.append(st2)
+            # Unstack inside the jit: K separate output buffers, so
+            # serving a sub-block is a handoff, not an eager slice op.
+            blocks = tuple(acc[k * n:(k + 1) * n] for k in range(K))
+            return blocks, tuple(vs), tuple(lvs), tuple(finals)
+
+        return win
+
+    def _window_fn(self, key, n: int, K: int, args) -> Optional[Any]:
+        """The compiled K-block window executable, compiling on a
+        background thread on first request (same pattern as _fused_fn);
+        never donates — interrupts replay from the input states."""
+        import threading
+
+        import jax
+
+        wkey = ("win", key, K)
+        ent = self._fused_cache.get(wkey)
+        if ent is None:
+            step = self._build_window_step(n, K)
+            jitted = jax.jit(step) if self.cfg.jit else None
+            ent = {"fn": None, "failed": False}
+            self._fused_cache[wkey] = ent
+            if jitted is None:
+                ent["fn"] = step
+                return step
+
+            def work():
+                try:
+                    ent["fn"] = jitted.lower(*args).compile()
+                except Exception:
+                    try:
+                        ent["fn"] = jitted
+                    except Exception:
+                        ent["failed"] = True
+
+            if self.fuse_blocking:
+                work()
+            else:
+                threading.Thread(target=work, daemon=True).start()
+        return None if ent["failed"] else ent["fn"]
+
+    def _open_window(self, key, n: int, block_start: int):
+        """Opens a lookahead window when the set is eligible, returning
+        the first served sub-block (None: ineligible / still compiling)."""
+        K = self.lookahead if self.lookahead is not None \
+            else self.sync_interval
+        if K <= 1:
+            return None
+        window_end = block_start + K * n
+        if any(v.start > block_start for v in self.active):
+            return None
+        if any(p.start < window_end for p in self.pending):
+            return None
+        members = list(self._singles) + list(self._groups)
+        if any(getattr(m.compiled.root, "has_capture", True)
+               for m in members):
+            return None
+        # The per-block fused fn must be live for interrupt replays.
+        fent = self._fused_cache.get(key)
+        if fent is None or fent.get("fn") is None:
+            return None
+        args: List = []
+        for v in self._singles:
+            args += [v.params, v.state]
+        for g in self._groups:
+            args += [g.bparams, g.bstate]
+        fn = self._window_fn(key, n, K, args)
+        if fn is None:
+            return None
+        blocks, vs, lvs, finals = fn(*args)
+        self._window = {"blocks": blocks, "vs": vs, "lvs": lvs,
+                        "finals": finals, "k": 0, "K": K, "key": key,
+                        "start": block_start,
+                        "singles": list(self._singles),
+                        "groups": list(self._groups)}
+        return self._serve_window()
+
+    def _serve_window(self):
+        w = self._window
+        y = w["blocks"][w["k"]]
+        w["k"] += 1
+        if w["k"] >= w["K"]:
+            self._finalize_window()
+        return y
+
+    def _finalize_window(self) -> None:
+        """Adopts the window's end states and valid-end/level bookkeeping
+        (last sub-block only — a finished voice keeps reporting v < n, so
+        finish detection is preserved)."""
+        w = self._window
+        self._window = None
+        nw = self.block_size * w["K"]
+        i = 0
+        for v in w["singles"]:
+            v.state = w["finals"][i]
+            v._pending_v.append((w["vs"][i], nw))
+            if self.report_levels:
+                v._pending_levels.append(w["lvs"][i])
+            i += 1
+        for g in w["groups"]:
+            g.bstate = w["finals"][i]
+            g._pending.append((w["vs"][i], {},
+                               w["lvs"][i] if self.report_levels else None,
+                               nw))
+            i += 1
+
+    def _interrupt_window(self) -> None:
+        """A command arrived mid-window: discard the unserved tail and
+        replay the served sub-blocks through the per-block fused path,
+        rebuilding states and bookkeeping at the consume point exactly
+        (the window fn left the input states untouched)."""
+        w = self._window
+        if w is None:
+            return
+        self._window = None
+        n = self.block_size
+        for j in range(w["k"]):
+            self._render_all_fused(w["key"], n, w["start"] + j * n, True)
 
     def render_block(self) -> Tuple[np.ndarray, Status]:
         """Renders the next block of `block_size` samples (the audio
@@ -884,28 +1072,42 @@ class Tracker:
         # until the next sync retires them).
         defer = self.sync_interval > 1
         acc = None
-        fused_key = self._fused_set_key(n) if self.fuse else None
-        if fused_key is not None and fused_key == self._fuse_key:
-            self._fuse_count += 1
-        else:
-            self._fuse_key, self._fuse_count = fused_key, 0
-        fused = fused_key is not None and \
-            self._fuse_count >= self.fuse_after
-        if fused:
-            acc = self._render_all_fused(fused_key, n, block_start, defer)
-            fused = acc is not None  # None: still compiling, fall back
-        if not fused:
-            for voice in self._singles:
-                s = max(voice.start - block_start, 0)
-                y = self._render_voice(voice, n, s, defer=defer)
-                acc = y if acc is None else acc + y
-            for group in self._groups:
-                starts = [max(v.start - block_start, 0)
-                          for v in group.voices]
-                y_sum, v_arr, caps, lv = group.render(
-                    n, starts, n, levels=self.report_levels)
-                group._pending.append((v_arr, caps, lv))
-                acc = y_sum if acc is None else acc + y_sum
+        served = False
+        opened = False
+        if self._window is not None:
+            # Serve the next sub-block of the open lookahead window: the
+            # whole window was rendered in one dispatch at open time.
+            acc = self._serve_window()
+            served = True
+        fused = False
+        if not served:
+            fused_key = self._fused_set_key(n) if self.fuse else None
+            if fused_key is not None and fused_key == self._fuse_key:
+                self._fuse_count += 1
+            else:
+                self._fuse_key, self._fuse_count = fused_key, 0
+            fused = fused_key is not None and \
+                self._fuse_count >= self.fuse_after
+            if fused and defer:
+                acc = self._open_window(fused_key, n, block_start)
+                if acc is not None:
+                    served = opened = True
+            if not served and fused:
+                acc = self._render_all_fused(fused_key, n, block_start,
+                                             defer)
+                fused = acc is not None  # None: still compiling
+            if not served and not fused:
+                for voice in self._singles:
+                    s = max(voice.start - block_start, 0)
+                    y = self._render_voice(voice, n, s, defer=defer)
+                    acc = y if acc is None else acc + y
+                for group in self._groups:
+                    starts = [max(v.start - block_start, 0)
+                              for v in group.voices]
+                    y_sum, v_arr, caps, lv = group.render(
+                        n, starts, n, levels=self.report_levels)
+                    group._pending.append((v_arr, caps, lv, n))
+                    acc = y_sum if acc is None else acc + y_sum
         # Exact retirement: voices with a known total length finish the
         # moment their final block has been rendered — no device fetch.
         for voice in self.active:
@@ -914,14 +1116,21 @@ class Tracker:
                 voice.finished = True
         # Count dispatches before the sync prunes voices that finished
         # inside this very block.
-        dispatches = 1 if fused else \
-            len(self._singles) + len(self._groups)
+        if served:
+            dispatches = 1 if opened else 0
+        elif fused:
+            dispatches = 1
+        else:
+            dispatches = len(self._singles) + len(self._groups)
         self.now = block_end
-        self._since_sync += 1
-        if not defer:
-            self._sync_voices(drain=True)
-        elif self._since_sync >= self.sync_interval:
-            self._sync_voices(drain=False)
+        if self._window is None:
+            # No sync machinery while a window is open: voice lists must
+            # stay frozen until its states are adopted at finalize.
+            self._since_sync += 1
+            if not defer:
+                self._sync_voices(drain=True)
+            elif self._since_sync >= self.sync_interval:
+                self._sync_voices(drain=False)
         if acc is None:
             out = np.zeros(n, dtype=np.float32)
         else:
@@ -991,9 +1200,9 @@ class Tracker:
             for caps in caps_list:
                 plan.append(("caps", voice, caps))
         for group in self._groups:
-            for (v_arr, caps, lv) in group._pending:
+            for (v_arr, caps, lv, e) in group._pending:
                 put(v_arr)
-                plan.append(("group", group, caps))
+                plan.append(("group", group, (caps, e)))
                 if lv is not None:
                     put(lv[0])
                     put(lv[1])
@@ -1024,14 +1233,14 @@ class Tracker:
                 b = len(target.voices)
                 v_np = data[cursor:cursor + b]
                 cursor += b
+                caps, e = extra
                 for i, voice in enumerate(target.voices):
-                    caps = extra
                     for stem, (cy, cs, cv) in caps.items():
                         cs_i, cv_i = int(cs[i]), int(cv[i])
                         if cv_i > cs_i:
                             voice.captures.setdefault(stem, []).append(
                                 np.asarray(cy[i, cs_i:cv_i], np.float32))
-                    if int(v_np[i]) < self.block_size:
+                    if int(v_np[i]) < e:
                         voice.finished = True
             elif kind == "slevel":
                 target.level_rms = float(data[cursor])
@@ -1101,7 +1310,15 @@ class Tracker:
 
     def _rebuild_groups(self) -> None:
         """Regroups active voices by compiled structure: groups of >= 2
-        render as one vmapped call; singletons keep the plain path."""
+        render as one vmapped call; singletons keep the plain path.
+
+        Existing groups materialize their batched state back onto the
+        member voices FIRST: grouping stacks voice.state, which is stale
+        for members whose progress lived in the group's bstate — without
+        this, retiring an unrelated voice rewound every surviving
+        grouped voice to its last materialization point."""
+        for g in self._groups:
+            g.materialize_states()
         by_compiled: Dict[Tuple, List[Voice]] = {}
         for voice in self.active:
             by_compiled.setdefault(
