@@ -485,3 +485,86 @@ def test_keymap_keys_mode_piano():
     # NoteOff fires in any mode (stuck-note avoidance).
     state.mode = A.Select()
     assert keymap.classify_keyup(state, "z") == [A.NoteOff(60)]
+
+
+# -- editor model fuzz ------------------------------------------------------
+
+
+def test_editor_ops_fuzz_against_string_model():
+    """Random edit-mode action sequences against a plain (text, cursor)
+    model: the reducer's text/cursor state must match, cursor must stay
+    in bounds, and undo-all must restore the original text."""
+    import random
+
+    rng = random.Random(1234)
+    chars = "ab c_1+\n"
+
+    def model_apply(text, cursor, op, arg):
+        if op == "insert":
+            return text[:cursor] + arg + text[cursor:], cursor + len(arg)
+        if op == "del_before":
+            if cursor == 0:
+                return text, cursor
+            return text[:cursor - 1] + text[cursor:], cursor - 1
+        if op == "del_after":
+            if cursor == len(text):
+                return text, cursor
+            return text[:cursor] + text[cursor + 1:], cursor
+        if op == "move":
+            return text, max(0, min(len(text), cursor + arg))
+        if op == "home":
+            return text, 0
+        if op == "end":
+            return text, len(text)
+        if op == "word_back":
+            return text, A.prev_word_start(text[:cursor]) if cursor else 0
+        if op == "word_fwd":
+            return text, cursor + A.next_word_end(text[cursor:])
+        if op == "del_word_before":
+            if cursor == 0:
+                return text, cursor
+            start = A.prev_word_start(text[:cursor])
+            return text[:start] + text[cursor:], start
+        if op == "kill_line":
+            if cursor == len(text):
+                return text, cursor
+            nl = text.find("\n", cursor)
+            end = cursor + 1 if nl == cursor else \
+                (len(text) if nl == -1 else nl)
+            return text[:cursor] + text[end:], cursor
+        raise AssertionError(op)
+
+    actions = {
+        "insert": lambda arg: A.InsertText(arg),
+        "del_before": lambda arg: A.DeleteCharBeforeCursor(),
+        "del_after": lambda arg: A.DeleteCharAfterCursor(),
+        "move": lambda arg: A.MoveCursorBy(arg),
+        "home": lambda arg: A.MoveCursorToStart(),
+        "end": lambda arg: A.MoveCursorToEnd(),
+        "word_back": lambda arg: A.MoveCursorToPreviousWord(),
+        "word_fwd": lambda arg: A.MoveCursorToNextWord(),
+        "del_word_before": lambda arg: A.DeleteWordBeforeCursor(),
+        "kill_line": lambda arg: A.DeleteToEndOfLine(),
+    }
+
+    for trial in range(25):
+        original = "".join(rng.choice(chars) for _ in range(rng.randint(0, 12)))
+        state = make_state()
+        state.active_program().text = original
+        state.mode = A.Edit(cursor=len(original))
+        text, cursor = original, len(original)
+        for _ in range(rng.randint(1, 40)):
+            op = rng.choice(list(actions))
+            arg = rng.choice([ -3, -1, 1, 2]) if op == "move" else \
+                "".join(rng.choice(chars) for _ in range(rng.randint(1, 3)))
+            A.apply(state, ctx(), actions[op](arg))
+            text, cursor = model_apply(text, cursor, op, arg)
+            assert state.active_program().text == text, (trial, op)
+            assert state.mode.cursor == cursor, (trial, op, text)
+            assert 0 <= cursor <= len(text)
+        # Undo everything: back to the original text.
+        for _ in range(200):
+            effects = A.apply(state, ctx(), A.Undo())
+            if effects and isinstance(effects[0], A.EShowMessage):
+                break
+        assert state.active_program().text == original, trial

@@ -39,14 +39,18 @@ class TuunSession:
                  block_size: int = 128,
                  library_root: Union[str, Path, None] = None,
                  precision: str = "fast", jit: bool = True,
-                 level_db: float = 0.0):
+                 level_db: float = 0.0, sync_interval: int = 1):
         self.sample_rate = sample_rate
         self.block_size = block_size
         self.level_db = level_db
         self.evaluator = Evaluator(sample_rate, tempo,
                                    library_root or DEFAULT_LIBRARY)
+        # sync_interval > 1 enables the deferred-sync streaming pipeline
+        # (and, with a stable voice set, fused steps + lookahead
+        # windows): production serving should pass 16-32; the default 1
+        # keeps single-block process() latency minimal.
         self.tracker = Tracker(sample_rate, block_size, precision=precision,
-                               jit=jit)
+                               jit=jit, sync_interval=sync_interval)
         self.player = Player(self.tracker, tempo, 4)
         self.sliders = ProgramSliders()
         self.keys_function: Optional[Expr] = None
