@@ -198,3 +198,81 @@ def test_fuzz_fast_precision_vs_exact(seed):
     assert float(np.mean(err > 0.05 * scale)) < 0.1, (
         f"seed={seed} large-error fraction {np.mean(err > 0.05*scale):.2f}"
         f"\n{w}")
+
+
+def test_tracker_schedule_fuzz_across_configs():
+    """Random multi-voice schedules (structures, starts, finite/infinite
+    mixes) rendered through every tracker configuration — per-block
+    vs deferred-sync vs fused vs lookahead windows — must produce the
+    same mix; exact-precision runs also check the native C++ tracker.
+    This is the test shape that catches cross-config state bugs (e.g.
+    the group-rebuild rewind)."""
+    import random
+
+    from tuun_tpu.tracker import Tracker
+    from tuun_tpu.ids import WaveformId
+    from tuun_tpu.player import build_top_level_waveform
+
+    rng = random.Random(99)
+    sr = 100
+
+    def fin_note(freq, dur):
+        return ir.Fin(
+            ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(),
+                             ir.Const(dur)),
+            ir.Sine(ir.Const(freq), ir.Const(0.0)))
+
+    def rand_voice():
+        kind = rng.randrange(4)
+        freq = rng.uniform(1.0, 9.0)
+        if kind == 0:
+            return fin_note(freq, rng.uniform(0.2, 1.5))
+        if kind == 1:  # infinite sine (same structure as others of kind 1)
+            return ir.Sine(ir.Const(freq), ir.Const(0.0))
+        if kind == 2:  # scaled constant segment
+            return ir.Fin(
+                ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(),
+                                 ir.Const(rng.uniform(0.1, 1.0))),
+                ir.Const(rng.uniform(0.1, 0.9)))
+        return ir.BinaryPointOp(  # product structure
+            ir.Operator.MULTIPLY, ir.Sine(ir.Const(freq), ir.Const(0.0)),
+            ir.Const(rng.uniform(0.2, 0.8)))
+
+    for trial in range(4):
+        voices = [(rand_voice(), rng.randrange(0, 120))
+                  for _ in range(rng.randint(2, 6))]
+        block = rng.choice([8, 16, 32])
+        n_blocks = 240 // block + 4
+        outs = {}
+        for label, kw, fuse, la in (
+                ("plain", dict(sync_interval=1), False, 1),
+                ("defer", dict(sync_interval=4), False, 1),
+                ("fused", dict(sync_interval=4), True, 1),
+                ("window", dict(sync_interval=4), True, 4)):
+            t = Tracker(sr, block, precision="fast", jit=True, **kw)
+            t.fuse = fuse
+            t.fuse_blocking = True
+            t.lookahead = la
+            for i, (w, start) in enumerate(voices):
+                t.play(WaveformId.program(i),
+                       build_top_level_waveform(w, 0.0), start=start)
+            outs[label] = np.concatenate(
+                [np.asarray(t.render_block()[0]) for _ in range(n_blocks)])
+        base = outs.pop("plain")
+        for label, got in outs.items():
+            np.testing.assert_allclose(
+                got, base, atol=1e-5,
+                err_msg=f"trial {trial} config {label}")
+        # Exact-precision differential against the native C++ tracker.
+        from tuun_tpu import native
+        if native.native_available():
+            t = Tracker(sr, block, precision="exact", jit=False)
+            nt = native.NativeTracker(sr)
+            for i, (w, start) in enumerate(voices):
+                t.play(WaveformId.program(i), w, start=start)
+                nt.play(w, start=start, seed=0)
+            ref = np.concatenate(
+                [np.asarray(t.render_block()[0]) for _ in range(n_blocks)])
+            got, _ = nt.render(len(ref))
+            np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4,
+                                       err_msg=f"trial {trial} native")
