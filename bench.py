@@ -309,27 +309,39 @@ def main():
     # measurably over a long multi-compile process (observed ~50x on the
     # last workload), and isolation also bounds any one compile hanging.
     import subprocess
+
+    def run_lane(name, timeout):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--one", name],
+            capture_output=True, text=True, timeout=timeout)
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return float(line.split()[1]), None
+        tail = (proc.stderr or "").strip().splitlines()[-3:]
+        return None, " | ".join(tail)
+
     results = {}
     for name in WORKLOAD_NAMES:
-        try:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--one", name],
-                capture_output=True, text=True, timeout=420)
-            sps = None
-            for line in proc.stdout.splitlines():
-                if line.startswith("RESULT "):
-                    sps = float(line.split()[1])
-            results[name] = sps
+        sps = None
+        err = None
+        # Two attempts: TPU compile times through the tunnel are
+        # nondeterministic (observed 3-500s for the same graph), and a
+        # timed-out first attempt leaves its completed compiles in the
+        # persistent compilation cache — the retry picks them up.
+        for attempt in range(2):
+            try:
+                sps, err = run_lane(name, timeout=420)
+            except Exception as exc:  # timeout, spawn failure
+                err = str(exc)
             if sps:
-                print(f"# {name}: {sps / 1e6:.1f} Msamples/s "
-                      f"({sps / REALTIME_BASE:.0f}x realtime@48k)",
-                      file=sys.stderr)
-            else:
-                tail = (proc.stderr or "").strip().splitlines()[-3:]
-                print(f"# {name} FAILED: {' | '.join(tail)}", file=sys.stderr)
-        except Exception as exc:  # pragma: no cover
-            print(f"# {name} FAILED: {exc}", file=sys.stderr)
-            results[name] = None
+                break
+        results[name] = sps
+        if sps:
+            print(f"# {name}: {sps / 1e6:.1f} Msamples/s "
+                  f"({sps / REALTIME_BASE:.0f}x realtime@48k)",
+                  file=sys.stderr)
+        else:
+            print(f"# {name} FAILED: {err}", file=sys.stderr)
     for extra, tag in (("poly_voices", "# poly_voices"),
                        ("instrument", "# instrument"),
                        ("streaming", "# streaming")):
