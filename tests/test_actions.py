@@ -568,3 +568,69 @@ def test_editor_ops_fuzz_against_string_model():
             if effects and isinstance(effects[0], A.EShowMessage):
                 break
         assert state.active_program().text == original, trial
+
+
+# -- MIDI classifier --------------------------------------------------------
+
+
+def test_midi_notes_and_running_status():
+    from tuun_tpu import midi
+    state = make_state()
+    assert midi.classify_bytes(state, 0x90, 60, 100) == [A.NoteOn(60, 100)]
+    assert midi.classify_bytes(state, 0x80, 60, 0) == [A.NoteOff(60)]
+    # Note-on velocity 0 is a note-off (MIDI running status).
+    assert midi.classify_bytes(state, 0x91, 64, 0) == [A.NoteOff(64)]
+    # Unhandled kinds (pitch bend) are ignored, not errors.
+    assert midi.classify_bytes(state, 0xE0, 0, 64) == []
+
+
+def test_midi_cc_sliders_and_volume():
+    from tuun_tpu import midi
+    state = make_state()  # program 0 has the "gain" slider
+    acts = midi.classify_bytes(state, 0xB0, 21, 127)
+    assert acts == [A.SetSliderNormalized(0, 0, 1.0)]
+    # CC for a slider index the program doesn't have: no-op.
+    assert midi.classify_bytes(state, 0xB0, 22, 64) == []
+    # Channel volume maps onto the -60..+6 dB level range.
+    acts = midi.classify_bytes(state, 0xB0, 7, 127)
+    assert acts == [A.SetLevelDb(0, pytest.approx(6.0))]
+    acts = midi.classify_bytes(state, 0xB0, 7, 0)
+    assert acts == [A.SetLevelDb(0, pytest.approx(-60.0))]
+
+
+def test_midi_navigation():
+    from tuun_tpu import midi
+    state = make_state()
+    assert midi.classify_bytes(state, 0xB0, 116, 127) == \
+        [A.AdvanceProgram(1)]
+    assert midi.classify_bytes(state, 0xB0, 115, 127) == \
+        [A.AdvanceProgram(-1)]
+    assert midi.classify_bytes(state, 0xC0, 2) == [A.SelectProgram(2)]
+
+
+def test_midi_drives_runner_end_to_end(tmp_path):
+    """A raw MIDI note-on/off stream through classify -> reducer ->
+    runner strikes and releases a real voice."""
+    import numpy as np
+
+    from tuun_tpu import midi
+    from tuun_tpu.effects import EffectRunner
+    from tuun_tpu.player import Player
+    from tuun_tpu.tracker import Tracker
+
+    src = '''open std;
+#{level_db=0}
+_ = fn(k, v) => (v | fin(time - 2), 1 | fin(time - 0.05));
+'''
+    state, _ = A.AppState.from_source(src)
+    tracker = Tracker(100, 20, precision="exact", jit=False)
+    runner = EffectRunner(state, Evaluator(100, 60, STDLIB),
+                          Player(tracker, 60, 4))
+    runner.dispatch(A.ToggleInstalledKeys(0))
+    runner.dispatch(*midi.classify_bytes(state, 0x90, 69, 127))
+    y, _ = tracker.render_block()
+    np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-5)
+    runner.dispatch(*midi.classify_bytes(state, 0x80, 69, 0))
+    for _ in range(3):
+        y, _ = tracker.render_block()
+    assert np.abs(np.asarray(y)).max() == 0.0
