@@ -570,3 +570,35 @@ def test_group_survives_unrelated_retirement_without_rewind():
     expect = np.sin(3.0 * n / 100) + np.sin(7.0 * n / 100)
     expect[:121] += 0.25
     np.testing.assert_allclose(mix, expect, atol=1e-5)
+
+
+def test_window_sync_cadence_counts_blocks_not_windows():
+    """_since_sync accounts for every block a window served, so finite
+    renders don't gain window-multiplied trailing-zero tails."""
+    la = _window_tracker(fuse=True)
+    out_la = la.run_to_completion(max_seconds=5)
+    ref = _window_tracker(fuse=False, lookahead=1)
+    out_ref = ref.run_to_completion(max_seconds=5)
+    # Same audio, and the lookahead output isn't padded with windows of
+    # trailing zeros (allow one lookahead window of slack).
+    assert abs(len(out_la) - len(out_ref)) <= 4 * 16
+    n = min(len(out_la), len(out_ref))
+    np.testing.assert_allclose(np.asarray(out_la[:n]),
+                               np.asarray(out_ref[:n]), atol=1e-6)
+
+
+def test_remove_pending_does_not_interrupt_window():
+    from tuun_tpu.player import build_top_level_waveform
+    t = _window_tracker(fuse=True)
+    t.play(WaveformId.program(5), build_top_level_waveform(
+        ir.Sine(ir.Const(5.0), ir.Const(0.0)), 0.0), start=10_000)
+    for _ in range(4):
+        t.render_block()
+    assert t._window is not None
+    t.remove_pending(WaveformId.program(5))
+    assert t._window is not None  # pending edits can't touch the window
+    assert all(p.id != WaveformId.program(5) for p in t.pending)
+    # A play that can't start inside the window doesn't interrupt either.
+    t.play(WaveformId.program(6), build_top_level_waveform(
+        ir.Sine(ir.Const(2.0), ir.Const(0.0)), 0.0), start=10_000)
+    assert t._window is not None

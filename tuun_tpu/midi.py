@@ -62,6 +62,8 @@ def classify(state: A.AppState, event: Tuple[str, int, int]
     i = state.active_program_index
 
     if kind == "note_on":
+        if b == 0:  # velocity-0 note-on IS a note-off (MIDI spec)
+            return [A.NoteOff(key=a)]
         return [A.NoteOn(key=a, velocity=b)]
     if kind == "note_off":
         return [A.NoteOff(key=a)]

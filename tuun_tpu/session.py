@@ -105,11 +105,16 @@ class TuunSession:
 
     def process(self, n: Optional[int] = None) -> Optional[np.ndarray]:
         """Renders the next block of audio; None once everything finished.
-        (wasm.rs:309-322 / the worklet's render quantum)"""
+        (wasm.rs:309-322 / the worklet's render quantum)
+
+        Always a numpy array: with sync_interval > 1 the tracker returns
+        device arrays to keep blocks pipelined, but this surface feeds
+        audio sinks (buffer protocol / .tobytes()); with lookahead
+        engaged the conversion only waits once per window."""
         if not self.tracker.active and not self.tracker.pending:
             return None
         out, _ = self.tracker.render_block()
-        return out
+        return np.asarray(out, np.float32)
 
     def render_all(self, max_seconds: float = 120.0) -> np.ndarray:
         return self.tracker.run_to_completion(max_seconds=max_seconds)

@@ -30,6 +30,8 @@ def plot_scope(samples: np.ndarray, sample_rate: int, out_path: str,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    if len(samples) == 0:
+        samples = np.zeros(1, np.float32)
     has_hud = load_series is not None or dispatch_series is not None
     rows = 3 if has_hud else 2
     fig, axes = plt.subplots(rows, 1, figsize=(10, 3 * rows))

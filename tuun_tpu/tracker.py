@@ -279,7 +279,9 @@ class VoiceGroup:
         # Voices group by (compiled, fast, lits), so lits is uniform; it
         # also drives the stateful timeline-schedule path (non-fast).
         self.lits = voices[0].lits
-        self._pending: List = []  # (valid_end[B], caps) per deferred block
+        self._pending: List = []  # (valid_end[B], caps, lv, e) per
+        # deferred render (e = the render's extent: block_size, or K*n
+        # for a lookahead window)
         self.mesh = mesh
         params = [v.params for v in voices]
         states = [v.state for v in voices]
@@ -500,8 +502,10 @@ class Tracker:
 
     def play(self, wid, waveform: ir.Waveform, start: Optional[int] = None,
              repeat_every: Optional[int] = None) -> None:
-        self._interrupt_window()
         start = self.now if start is None else start
+        if self._window is not None and start < \
+                self._window["start"] + self._window["K"] * self.block_size:
+            self._interrupt_window()
         marks = collect_marks(waveform, self.sample_rate, wid, start)
         self.pending.append(Pending(wid, waveform, start, repeat_every, marks))
         self.pending.sort(key=lambda p: p.start)
@@ -570,7 +574,9 @@ class Tracker:
                                         p.start)
 
     def remove_pending(self, wid) -> None:
-        self._interrupt_window()
+        # No window interrupt: window eligibility guarantees every
+        # pending starts at/after the window end, so editing the pending
+        # list cannot affect pre-rendered audio.
         self.pending = [p for p in self.pending if p.id != wid]
 
     def stop_all(self) -> None:
@@ -761,26 +767,25 @@ class Tracker:
             if pallas_available() else ()
         return step, donate
 
-    def _fused_fn(self, key, n: int, args) -> Optional[Any]:
-        """The fused executable for `key`, compiling it on a background
-        thread on first request: a 4-voice fused step can take minutes to
-        compile on the TPU, and a live stream must keep serving blocks
-        through the per-voice path meanwhile.  Returns None until the
-        executable is ready."""
+    def _async_compiled(self, cache_key, build, args) -> Optional[Any]:
+        """Background compile-and-publish for a session-step executable:
+        compiles can take minutes on the TPU, and a live stream must
+        keep serving blocks through the per-voice path meanwhile.  The
+        closure is built on the CALLING thread (it reads the member
+        lists); only AOT trace+compile runs on the worker.  Returns None
+        until the executable is ready; `fuse_blocking` compiles inline
+        for deterministic tests."""
         import threading
 
         import jax
 
-        ent = self._fused_cache.get(key)
+        ent = self._fused_cache.get(cache_key)
         if ent is None:
-            # The closure is built on THIS thread so it reads a
-            # consistent member list; only trace+compile run in the
-            # background.
-            step, donate = self._build_fused_step(n)
+            step, donate = build()
             jitted = jax.jit(step, donate_argnums=donate) \
                 if self.cfg.jit else None
-            ent = {"fn": None, "failed": False}
-            self._fused_cache[key] = ent
+            ent = {"fn": None}
+            self._fused_cache[cache_key] = ent
             if jitted is None:
                 ent["fn"] = step
                 return step
@@ -790,16 +795,19 @@ class Tracker:
                     # AOT: trace+compile without executing, then publish.
                     ent["fn"] = jitted.lower(*args).compile()
                 except Exception:
-                    try:  # fall back to the lazily-compiled callable
-                        ent["fn"] = jitted
-                    except Exception:
-                        ent["failed"] = True
+                    # Fall back to the lazily-compiled callable (first
+                    # call compiles; correctness unaffected).
+                    ent["fn"] = jitted
 
             if self.fuse_blocking:
-                work()  # tests: deterministic engagement
+                work()
             else:
                 threading.Thread(target=work, daemon=True).start()
-        return None if ent["failed"] else ent["fn"]
+        return ent["fn"]
+
+    def _fused_fn(self, key, n: int, args) -> Optional[Any]:
+        return self._async_compiled(key, lambda: self._build_fused_step(n),
+                                    args)
 
     def _render_all_fused(self, key, n: int, block_start: int, defer: bool):
         """Renders the whole set through the fused step, or returns None
@@ -923,38 +931,11 @@ class Tracker:
         return win
 
     def _window_fn(self, key, n: int, K: int, args) -> Optional[Any]:
-        """The compiled K-block window executable, compiling on a
-        background thread on first request (same pattern as _fused_fn);
-        never donates — interrupts replay from the input states."""
-        import threading
-
-        import jax
-
-        wkey = ("win", key, K)
-        ent = self._fused_cache.get(wkey)
-        if ent is None:
-            step = self._build_window_step(n, K)
-            jitted = jax.jit(step) if self.cfg.jit else None
-            ent = {"fn": None, "failed": False}
-            self._fused_cache[wkey] = ent
-            if jitted is None:
-                ent["fn"] = step
-                return step
-
-            def work():
-                try:
-                    ent["fn"] = jitted.lower(*args).compile()
-                except Exception:
-                    try:
-                        ent["fn"] = jitted
-                    except Exception:
-                        ent["failed"] = True
-
-            if self.fuse_blocking:
-                work()
-            else:
-                threading.Thread(target=work, daemon=True).start()
-        return None if ent["failed"] else ent["fn"]
+        """The compiled K-block window executable; never donates —
+        interrupts replay from the input states."""
+        return self._async_compiled(
+            ("win", key, K),
+            lambda: (self._build_window_step(n, K), ()), args)
 
     def _open_window(self, key, n: int, block_start: int):
         """Opens a lookahead window when the set is eligible, returning
@@ -1006,6 +987,10 @@ class Tracker:
         finish detection is preserved)."""
         w = self._window
         self._window = None
+        # The window served K blocks during which _since_sync was frozen;
+        # account for them so sync cadence stays per-BLOCK, not
+        # per-window (the finalize block itself adds the final +1).
+        self._since_sync += w["K"] - 1
         nw = self.block_size * w["K"]
         i = 0
         for v in w["singles"]:
