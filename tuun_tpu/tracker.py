@@ -1195,18 +1195,20 @@ class Tracker:
             group._pending = []
         if not flat:
             return None
-        packed = self._pack(flat)
-        try:
-            packed.copy_to_host_async()
-        except Exception:
-            pass
-        return packed, plan
+        # NO copy_to_host_async here: on the tunnel backend it blocks
+        # until the value is computed, serializing the pipeline (the
+        # window's compute is still in flight when staging runs). The
+        # copy starts one sync later (_sync_voices), when the compute
+        # has finished.
+        return [self._pack(flat), False], plan
 
     def _resolve_staged(self, staged) -> None:
         if staged is None:
             return
-        packed, plan = staged
-        data = np.asarray(packed)
+        (packed, _copied), plan = staged
+        self._apply_resolved(np.asarray(packed), plan)
+
+    def _apply_resolved(self, data: np.ndarray, plan) -> None:
         cursor = 0
         for kind, target, extra in plan:
             if kind == "single":
@@ -1247,39 +1249,79 @@ class Tracker:
                         voice.captures.setdefault(stem, []).append(
                             np.asarray(cy[cs_i:cv_i], np.float32))
 
+    def _ensure_fetcher(self):
+        import queue as _q
+        import threading
+        if getattr(self, "_fetch_thread", None) is None \
+                or not self._fetch_thread.is_alive():
+            self._fetch_q = _q.Queue()
+            self._fetched_q = _q.Queue()
+            self._fetch_outstanding = 0
+
+            def work():
+                while True:
+                    item = self._fetch_q.get()
+                    if item is None:
+                        return
+                    (packed, _), plan = item
+                    try:
+                        data = np.asarray(packed)
+                    except Exception:
+                        data = None
+                    self._fetched_q.put((data, plan))
+
+            self._fetch_thread = threading.Thread(target=work, daemon=True)
+            self._fetch_thread.start()
+
+    def _apply_fetched(self, block: bool = False) -> None:
+        """Applies completed background fetches (host-state mutation on
+        the calling thread); with block=True waits for every outstanding
+        fetch."""
+        import queue as _q
+        while self._fetch_outstanding:
+            try:
+                data, plan = self._fetched_q.get(
+                    timeout=60 if block else 0)
+            except _q.Empty:
+                if block:
+                    raise RuntimeError("staged fetch worker stalled")
+                return
+            self._fetch_outstanding -= 1
+            if data is not None:
+                self._apply_resolved(data, plan)
+
     def _sync_voices(self, drain: bool = True) -> None:
         """Resolves queued device scalars: voice finishes, retirement, and
-        capture slices. With drain=False only the PREVIOUS window's staged
-        copy is resolved (its data is already on the wire) and the current
-        window is staged — no blocking wait on fresh computation. With
-        drain=True everything resolves now (needed before Modify, stop,
-        regroup, or termination checks)."""
+        capture slices. With drain=False the blocking device->host fetch
+        (a full link round trip on the tunnel: ~30 ms measured, the
+        single biggest per-window cost once rendering is one dispatch)
+        runs on a background worker and its results apply at a later
+        sync. With drain=True everything resolves now (needed before
+        Modify, stop, regroup, or termination checks)."""
         self._since_sync = 0
+        self._ensure_fetcher()
         queue = getattr(self, "_staged_q", None)
         if queue is None:
             queue = self._staged_q = []
         staged = self._stage_pending()
         if staged is not None:
             queue.append(staged)
+        self._apply_fetched(block=drain)
         if drain:
             for st in queue:
                 self._resolve_staged(st)
             queue.clear()
         else:
-            # Resolve only windows whose device->host copy has actually
-            # landed: the host enqueues far ahead of the device, so a
-            # window staged one sync ago is usually still in flight —
-            # blocking on it would cost a full link round trip per sync.
-            # Finished-voice detection arrives a few windows late, which
-            # is harmless (finished voices render zeros). The depth cap
-            # bounds memory and staleness.
-            while queue and (len(queue) > 32 or _staged_ready(queue[0])):
-                self._resolve_staged(queue.pop(0))
+            for st in queue:
+                self._fetch_q.put(st)
+                self._fetch_outstanding += 1
+            queue.clear()
         finished = [v for v in self.active if v.finished]
-        if finished and queue:
+        if finished and (queue or self._fetch_outstanding):
             # A voice can finish (exact retirement) while windows holding
             # its capture slices are still in flight: resolve everything
             # before closing, or the capture WAVs would lose their tails.
+            self._apply_fetched(block=True)
             for st in queue:
                 self._resolve_staged(st)
             queue.clear()
