@@ -343,3 +343,102 @@ def test_reloc_fast_path_matches_interval_path():
         y, v, st, _ = voice.render_block(P, st, 8, s=3, e=8)
         assert np.all(np.asarray(y)[:3] == 0.0)
         np.testing.assert_allclose(np.asarray(y)[3:8], ref[:5], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# analytic Reset (fast-mode NCO-trigger edge solving)
+# ---------------------------------------------------------------------------
+
+
+def _fast_render(w, n, sr, block, analytic=True, jit=True):
+    """Fast-mode render with the analytic-Reset tier force-disabled when
+    analytic=False (compiles the generic sampled-sign path)."""
+    import tuun_tpu.engine.graph as G
+    orig = G.CReset.__dict__["_analytic_ok"]
+    if not analytic:
+        G.CReset._analytic_ok = staticmethod(lambda t, c: False)
+    try:
+        return engine.render(w, n, sr, precision="fast", block=block,
+                             jit=jit)
+    finally:
+        G.CReset._analytic_ok = orig
+
+
+def _std_waveform(text, sr=100, tempo=60):
+    ev = Evaluator(sr, tempo, STDLIB)
+    out = ev.evaluate_source(text, opens=("std",))
+    if isinstance(out, ESeq):
+        out = out.waveform
+    return optimizer.optimize(out.waveform)
+
+
+def test_analytic_reset_matches_sampled_sign_path():
+    """The closed-form edge tier (phase-wrap ages) must be BIT-identical
+    to the generic sampled-sign path it replaces: the phase-bit sign rule
+    is exact for every NCO grid angle (verified exhaustively on the TPU
+    and CPU backends — see CReset's class doc)."""
+    for text in ("sawtooth(10)", "triangle(10)", "pulse(0.5, 10)",
+                 "sawtooth(7.3)", "triangle(49.9)",
+                 "pulse(0.25, 5) * 0.5 + $10 * 0.5"):
+        w = _std_waveform(text)
+        for block in (7, 64):
+            new = _fast_render(w, 300, 100, block)
+            old = _fast_render(w, 300, 100, block, analytic=False)
+            np.testing.assert_array_equal(
+                new, old, err_msg=f"{text} block={block}")
+
+
+def test_analytic_reset_stateful_inner_matches():
+    """Stateful inner (chirp) under an analytic trigger: the three-render
+    scheme with closed-form edge vectors must equal the generic tier."""
+    chirp = Sine(BinaryPointOp(Operator.MULTIPLY, Time(), Const(math.tau)),
+                 Const(0.0))
+    w = Reset(Sine(Const(math.tau * 1.25), Const(0.0)), chirp)
+    for block in (16, 240):
+        new = _fast_render(w, 240, 10, block)
+        old = _fast_render(w, 240, 10, block, analytic=False)
+        np.testing.assert_array_equal(new, old, err_msg=f"block={block}")
+
+
+def test_analytic_reset_reloc_matches_interval():
+    """Analytic resets are relocatable; the reloc evaluation must equal
+    the interval render sample-for-sample across carried blocks."""
+    from tuun_tpu.engine import CompiledVoice
+    w = _std_waveform("(sawtooth(12) * 0.3 + triangle(7) * 0.2)"
+                      " | fin(time - 2)")
+    cfg = EngineConfig(100, "fast", jit=True)
+    voice = CompiledVoice(w, cfg)
+    assert voice.relocatable
+    P = voice.params()
+    sti = voice.init(P)
+    stf = voice.init(P)
+    for _ in range(5):
+        yi, vi, sti, _ = voice.render_block(P, sti, 64, fast=False)
+        yf, vf, stf, _ = voice.render_block(P, stf, 64, fast=True)
+        np.testing.assert_array_equal(np.asarray(yi), np.asarray(yf))
+        assert int(vi) == int(vf)
+
+
+def test_analytic_reset_eligibility_gates():
+    """Super-Nyquist or non-zero-phase triggers must stay on the generic
+    path (and still render correctly vs the exact-mode reference)."""
+    import tuun_tpu.engine.graph as G
+
+    def root_reset(w, sr):
+        voice = compile_voice(optimizer.optimize(w),
+                              EngineConfig(sr, "fast", jit=False))
+        for node in [voice.root]:
+            while not isinstance(node, G.CReset):
+                node = getattr(node, "inner", None) or node.a
+            return node
+
+    # 55 Hz trigger at sr=100 is above Nyquist: not analytic.
+    w_sup = Reset(Sine(Const(math.tau * 55.0), Const(0.0)), Time())
+    assert not root_reset(w_sup, 100).analytic
+    assert root_reset(w_sup, 44100).analytic
+    # Non-zero phase: not analytic (sign pattern shifts).
+    w_ph = Reset(Sine(Const(math.tau * 5.0), Const(0.5)), Time())
+    assert not root_reset(w_ph, 100).analytic
+    got = _fast_render(w_ph, 200, 100, 64)
+    old = _fast_render(w_ph, 200, 100, 64, analytic=False)
+    np.testing.assert_array_equal(got, old)

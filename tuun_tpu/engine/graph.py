@@ -849,6 +849,26 @@ class CFin(Node):
 
 
 class CReset(Node):
+    """Reset(trigger, inner): restart `inner` at each -..+ trigger crossing.
+
+    Analytic-edge tier (fast mode): when the trigger is an NCO sine with a
+    structurally-zero phase (`$f` from std.tuun — every sawtooth / triangle
+    / pulse / subtractive instrument, reference generator.rs:281-318 pays
+    an O(n) scalar scan here), its sign sequence is EXACTLY the phase
+    accumulator's top bit: verified exhaustively on both the TPU and CPU
+    backends that f32 `sin(_nco_angle(ph))` is >= 0 iff `ph < 2^31` for
+    ALL 2^24 grid angles.  A rising edge is then precisely a phase wrap
+    (for inc < 2^31 the phase can only re-enter [0, 2^31) by wrapping),
+    and the per-lane age since the last wrap is the exact integer identity
+
+        age(i) = i - ceil(k·2^32 / inc) = (i·inc mod 2^32) // inc,
+
+    one u32 multiply + divide per lane — no trigger render, no running-max
+    scan, and bit-identical to the sampled-sign path it replaces.  It also
+    makes the node relocatable (a pure function of the absolute index),
+    which whole-voice fast paths and lane sharding build on.
+    """
+
     def __init__(self, cfg, trigger: Node, inner: Node,
                  inner_ir: ir.Waveform, compiler: "Compiler"):
         super().__init__(cfg)
@@ -856,12 +876,117 @@ class CReset(Node):
         self.inner = inner
         self.inner_reloc = inner.reloc
         self.compiler = compiler
+        self.analytic = self._analytic_ok(trigger, compiler)
+        if self.analytic and inner.reloc is not None:
+            inner_reloc = inner.reloc
+
+            def reloc(P, li, lits=None):
+                age = self._analytic_age(
+                    trigger._nco_inc(P),
+                    jnp.maximum(li, 0).astype(jnp.uint32))
+                yi, _ = inner_reloc(P, age, lits)
+                return yi, None  # trigger (= validity) is infinite
+            self.reloc = reloc
+
+    @staticmethod
+    def _analytic_ok(trigger: Node, compiler: "Compiler") -> bool:
+        """Trigger must be a fast-mode NCO sine whose phase is a
+        structural Const 0 and whose frequency is a structural Const in
+        (0, Nyquist) at compile time.  Const values are runtime params,
+        but these two are never rebound in practice: substitutions are
+        mark-scoped (a Marked phase/frequency changes the structure), so
+        a same-structure params swap preserves zero phase and the
+        sub-Nyquist range."""
+        if not (isinstance(trigger, CSine) and trigger.nco):
+            return False
+        if not (isinstance(trigger.phase, CConst)
+                and isinstance(trigger.freq, CConst)):
+            return False
+        try:
+            phase_v = float(compiler.const_values[trigger.phase.index])
+            freq_v = float(compiler.const_values[trigger.freq.index])
+        except Exception:
+            return False
+        fc = freq_v / (trigger.cfg.sample_rate * TAU)  # cycles/sample
+        # Lower bound keeps inc (= frac(fc)*2^32) comfortably non-zero:
+        # the inc == 0 fallback in _age_from_phase is exact only for the
+        # reloc path's absolute indices.
+        return phase_v == 0.0 and 2.0 ** -20 < fc < 0.5
+
+    @staticmethod
+    def _age_from_phase(inc, ph, liu):
+        """Exact samples-since-last-edge given the NCO phase `ph` at the
+        lane (u32; == liu*inc mod 2^32); edges are wraps, so
+        age = phase // inc.  inc == 0 (a frequency that quantizes to
+        zero) means one edge at sample 0: age = the sample index."""
+        safe = jnp.maximum(inc, jnp.uint32(1))
+        return jnp.where(inc == jnp.uint32(0), liu,
+                         ph // safe).astype(i32)
+
+    @classmethod
+    def _analytic_age(cls, inc, liu):
+        return cls._age_from_phase(inc, liu * inc, liu)
 
     def init(self, P):
         return (f32(-1.0), jnp.int32(0),
                 self.trigger.init(P), self.inner.init(P))
 
+    def _render_analytic(self, P, st, s, e, ctx):
+        """Interval render with closed-form edges: no trigger render (its
+        validity is infinite and its state is one u32 accumulator), no
+        cross-lane scans or reductions.  Bit-identical to the generic
+        path below — the phase-bit sign rule is exact (see class doc)."""
+        sign, age, strg, sinn = st
+        acc = strg[0]  # the trigger CSine's NCO phase accumulator
+        inc = self.trigger._nco_inc(P)
+        local = (ctx.idx - s).astype(jnp.uint32)
+        ph = acc + local * inc  # absolute NCO phase per lane
+        ageL = self._age_from_phase(inc, ph, local)
+        m = _mask(ctx, s, e)
+        n_adv = jnp.maximum(e - s, 0)
+        nonempty = e > s
+        # Trigger state/sign/age bookkeeping, all scalar arithmetic.
+        ph_last = acc + jnp.maximum(n_adv - 1, 0).astype(jnp.uint32) * inc
+        age_last = self._analytic_age(inc, ph_last)
+        new_acc = acc + n_adv.astype(jnp.uint32) * inc
+        sign = jnp.where(nonempty,
+                         jnp.where(ph_last < jnp.uint32(2 ** 31),
+                                   f32(1.0), f32(-1.0)), sign)
+        new_age = jnp.where(nonempty, age_last + 1, age)
+        strg = (new_acc,) + strg[1:]
+
+        if self.inner_reloc is not None:
+            yi, _ = self.inner_reloc(P, ageL)
+            y = jnp.where(m, yi, 0.0)
+            return y, e + jnp.int32(0), e + jnp.int32(0), \
+                (sign, new_age, strg, sinn)
+
+        # Stateful inner: same three-render scheme as the generic tier,
+        # with the edge vector and carry scalars closed-form.
+        inner = self.inner
+        fresh = inner.init(P)
+        nctx = Ctx(ctx.n, allow_captures=False)
+        # A lane is at/after an in-block edge iff its age fits since s.
+        restarted = m & (ctx.idx - ageL >= s)
+        any_edge = jnp.sum(restarted.astype(f32)) > 0.0
+        y0, v0, _, st0 = inner.render(P, sinn, s, e, nctx)
+        y0 = jnp.where(_mask(nctx, s, v0), y0, 0.0)
+        yb, vb, _, _ = inner.render(P, fresh, jnp.int32(0),
+                                    jnp.int32(ctx.n), nctx)
+        yb = jnp.where(nctx.idx < vb, yb, 0.0)
+        age_i = jnp.clip(ageL, 0, ctx.n - 1)
+        y = jnp.where(restarted, jnp.take(yb, age_i), y0)
+        y = jnp.where(m, y, 0.0)
+        k = jnp.clip(jnp.where(nonempty, age_last + 1, 0), 0, ctx.n)
+        _, _, _, st_last = inner.render(P, fresh, jnp.int32(0), k, nctx)
+        sinn = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(any_edge, a, b), st_last, st0)
+        return y, e + jnp.int32(0), e + jnp.int32(0), \
+            (sign, new_age, strg, sinn)
+
     def render(self, P, st, s, e, ctx):
+        if self.analytic:
+            return self._render_analytic(P, st, s, e, ctx)
         sign, age, strg, sinn = st
         yt, vt, wt, strg = self.trigger.render(P, strg, s, e, ctx)
         m = _mask(ctx, s, vt)
