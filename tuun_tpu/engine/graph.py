@@ -335,7 +335,11 @@ class CConst(Node):
 class CTime(Node):
     def __init__(self, cfg):
         super().__init__(cfg)
-        sr = f32(cfg.sample_rate)
+        # Python float, not f32(): jnp scalars are committed device
+        # arrays in this JAX version, and a pre-created array captured by
+        # the reloc closure can't cross the Pallas kernel boundary
+        # (weak-typed float literals inline; numerics identical).
+        sr = float(cfg.sample_rate)
         self.reloc = lambda P, li, lits=None: (li.astype(f32) / sr, None)
 
     def init(self, P):
@@ -558,7 +562,14 @@ class CSine(Node):
     def _nco_inc(self, P):
         fc = self.freq.const_expr(P) / f32(self.cfg.sample_rate * TAU)
         frac = fc - jnp.floor(fc)  # cycles/sample in [0, 1)
-        return (frac * f32(self.NCO_SCALE)).astype(jnp.uint32)
+        # f32 -> u32 via an i32 detour: Mosaic rejects float<->unsigned
+        # casts, and the split is exact (x - 2^31 is representable, the
+        # f32 value has <= 24 mantissa bits), so XLA output is unchanged.
+        x = frac * f32(self.NCO_SCALE)
+        big = x >= f32(2.0 ** 31)
+        xm = jnp.where(big, x - f32(2.0 ** 31), x)
+        return xm.astype(jnp.int32).astype(jnp.uint32) + \
+            jnp.where(big, jnp.uint32(2 ** 31), jnp.uint32(0))
 
     def init(self, P):
         acc = jnp.uint32(0) if self.nco else jnp.zeros((), self.cfg.phase_dtype)
@@ -1357,8 +1368,17 @@ class CompiledVoice:
         # sequences built from NCO sines, envelopes, and appends).
         self.relocatable = (self.root.reloc is not None
                             and not compiler.captures)
-        # Default path for new voices: reloc only when the config opts in.
-        self.fast_default = self.relocatable and cfg.reloc_fast
+        # Whole-voice Pallas eligibility: the reloc closure must trace
+        # through Mosaic — no Fixed payload gathers, no timeline
+        # schedule scatters (pallas_ops.reloc_voice_f32).
+        self.reloc_kernel_ok = (
+            self.relocatable and not compiler.has_timeline
+            and not any(isinstance(x, ir.Fixed) for x in w.walk()))
+        # Default path for new voices: the whole-voice Pallas evaluator
+        # when the structure supports it on a TPU backend, or the XLA
+        # reloc fusion when the config opts in explicitly.
+        self.fast_default = self.relocatable and (
+            cfg.reloc_fast or (self.reloc_kernel_ok and cfg.pallas))
         self._base_consts = np.asarray(compiler.const_values, np.float32) \
             if compiler.const_values else np.zeros((0,), np.float32)
         self._base_fixeds = tuple(compiler.fixed_values)
@@ -1494,7 +1514,23 @@ class CompiledVoice:
             # threading, no per-node interval bookkeeping, and the stream
             # length is a trace-time literal — the valid end is plain
             # scalar arithmetic, no cross-lane reduction.
-            y, L = self.root.reloc(P, pos + ctx.idx - s, lits)
+            y = None
+            if self.reloc_kernel_ok and self.cfg.pallas \
+                    and isinstance(lits, tuple):
+                # Whole-voice Pallas evaluator: the same reloc closure
+                # traced inside one Mosaic kernel (tile-wise VMEM
+                # evaluation) instead of one giant XLA fusion, which
+                # de-vectorizes (docs/design.md §6).
+                from .pallas_ops import reloc_voice_f32
+                y = reloc_voice_f32(
+                    lambda KP, li: self.root.reloc(KP, li, lits),
+                    P.consts, P.seed, pos - s, n)
+            if y is not None:
+                # Length only — the 1-lane evaluation is dead-code
+                # eliminated by XLA; only the literal length survives.
+                _, L = self.root.reloc(P, jnp.zeros((1,), i32), lits)
+            else:
+                y, L = self.root.reloc(P, pos + ctx.idx - s, lits)
             if isinstance(L, int):
                 L = jnp.int32(min(L, BIG_LIT))
             v = e if L is None else jnp.clip(s + L - pos, s, e)

@@ -206,6 +206,23 @@ class _LaneConsts:
         return self._base[j]
 
 
+class _RowConsts:
+    """Stand-in for Params.consts inside one vmapped chord row: indices
+    in the representative leaf's const range read the row vector (a
+    tracer carrying the vmap batch axis); anything else falls through."""
+
+    def __init__(self, base, c0: int, row):
+        self._base = base
+        self._c0 = c0
+        self._row = row
+
+    def __getitem__(self, j):
+        c = j - self._c0
+        if 0 <= c < self._row.shape[0]:
+            return self._row[c]
+        return self._base[j]
+
+
 class _LaneLits:
     """Stand-in for the lits tuple: slots in the representative leaf's
     fin range resolve to per-lane gathers from a literal cutoff table."""
@@ -394,8 +411,11 @@ class CTimeline:
                 y = y + jnp.sum(vals[:, None] * inr.astype(jnp.float32),
                                 axis=0)
 
-        # Structured leaves: group by structure, layer by overlap, one
-        # evaluation per layer.
+        # Structured leaves: group by structure; SIMULTANEOUS same-
+        # structure leaves (chords — every leaf at the same offset with
+        # the same cutoffs) evaluate ONCE as a vmapped batch over a
+        # [S, C] parameter table (the voice-group trick inside a voice);
+        # the rest layer by overlap, one evaluation per layer.
         by_key: Dict[Tuple, List[Tuple[int, int, Optional[int]]]] = {}
         for (i, off, end) in entries:
             if self.infos[i].const_idx is not None:
@@ -403,12 +423,56 @@ class CTimeline:
             by_key.setdefault(G.structure_key(self.infos[i].w),
                               []).append((i, off, end))
         for group in by_key.values():
-            for layer in _layer_partition(group):
+            rest: List[Tuple[int, int, Optional[int]]] = []
+            sim: Dict[Tuple, List[Tuple[int, int, Optional[int]]]] = {}
+            for (i, off, end) in group:
+                inf = self.infos[i]
+                fl = tuple(lits[s] for s in range(inf.f0, inf.f1))
+                sim.setdefault((off, end, fl), []).append((i, off, end))
+            for (off, end, fl), sg in sim.items():
+                if len(sg) >= 2 and all(self.infos[i].stackable
+                                        for (i, _, _) in sg):
+                    y = y + self._eval_simultaneous(P, li, lits, sg, off)
+                else:
+                    rest.extend(sg)
+            for layer in _layer_partition(rest):
                 y = y + self._eval_layer(P, li, lits, layer, li0, n,
                                          pallas)
 
         return (G._len_mask(li, y, total) if total is not None else y,
                 total)
+
+    def _eval_simultaneous(self, P, li, lits, group, off):
+        """One vmapped evaluation of S same-structure leaves that share
+        an offset and identical fin cutoffs (a chord): the leaves' const
+        ranges stack into a [S, C] table and the representative node
+        evaluates once per batch row — one traversal instead of S, which
+        is what keeps a 16-voice chord from costing 16 kernel chains per
+        block.  Eligibility (caller): >= 2 stackable leaves (no Noise —
+        per-leaf uids would collapse — no Fixed, no nested timeline)."""
+        import jax
+        import jax.numpy as jnp
+        from . import graph as G
+
+        rep = self.infos[group[0][0]]
+        local = li - jnp.int32(off)
+        if rep.c1 == rep.c0:
+            # No per-leaf parameters: S identical leaves — evaluate once
+            # and scale (Merge is additive).
+            ys, _ = rep.node.reloc(P, local, lits)
+            y = ys * float(len(group))
+        else:
+            idx = np.stack([np.arange(self.infos[i].c0, self.infos[i].c1)
+                            for (i, _, _) in group])          # [S, C]
+            table = P.consts[jnp.asarray(idx)]
+
+            def one(row):
+                lp = G.Params(_RowConsts(P.consts, rep.c0, row),
+                              P.fixeds, P.seed)
+                ys, _ = rep.node.reloc(lp, local, lits)
+                return ys
+            y = jnp.sum(jax.vmap(one)(table), axis=0)
+        return jnp.where(li >= jnp.int32(off), y, 0.0)
 
     def _eval_layer(self, P, li, lits, layer, li0, n, pallas):
         import jax.numpy as jnp

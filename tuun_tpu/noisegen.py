@@ -41,7 +41,14 @@ def noise_np(seed: int, uid: int, idx) -> np.ndarray:
 
 
 def noise_jnp(seed, uid, idx):
-    """jnp counterpart of noise_np; bit-identical output."""
+    """jnp counterpart of noise_np; bit-identical output.
+
+    The final u32 -> f32 conversion goes through a bitcast to i32 (the
+    shifted value fits 24 bits, so the reinterpretation is exact): Mosaic
+    (Pallas) rejects unsigned<->float casts, and this keeps the function
+    traceable inside the whole-voice Pallas evaluator with identical XLA
+    output."""
+    import jax
     import jax.numpy as jnp
 
     idx = idx.astype(jnp.uint32)
@@ -55,5 +62,6 @@ def noise_jnp(seed, uid, idx):
     x = x ^ (x >> 13)
     x = x * jnp.uint32(0xC2B2AE35)
     x = x ^ (x >> 16)
-    u24 = (x >> jnp.uint32(8)).astype(jnp.float32)
+    u24 = jax.lax.bitcast_convert_type(
+        x >> jnp.uint32(8), jnp.int32).astype(jnp.float32)
     return u24 * jnp.float32(2.0 ** -23) - jnp.float32(1.0)
