@@ -7,6 +7,8 @@ must agree in both length and value.
 
 import math
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -390,14 +392,48 @@ def test_analytic_reset_matches_sampled_sign_path():
 
 def test_analytic_reset_stateful_inner_matches():
     """Stateful inner (chirp) under an analytic trigger: the three-render
-    scheme with closed-form edge vectors must equal the generic tier."""
+    scheme with closed-form edge vectors must equal the generic tier.
+
+    The 1.13 trigger gives a period that does NOT divide any block size,
+    so blocks start mid-cycle and the carried inner state is actually
+    consumed (a divisible period hides carry bugs: every block boundary
+    lands on an edge and the continued segment is empty)."""
     chirp = Sine(BinaryPointOp(Operator.MULTIPLY, Time(), Const(math.tau)),
                  Const(0.0))
-    w = Reset(Sine(Const(math.tau * 1.25), Const(0.0)), chirp)
-    for block in (16, 240):
-        new = _fast_render(w, 240, 10, block)
-        old = _fast_render(w, 240, 10, block, analytic=False)
-        np.testing.assert_array_equal(new, old, err_msg=f"block={block}")
+    for freq in (1.25, 1.13, 0.37):
+        w = Reset(Sine(Const(math.tau * freq), Const(0.0)), chirp)
+        for block in (16, 61, 240):
+            new = _fast_render(w, 240, 10, block)
+            old = _fast_render(w, 240, 10, block, analytic=False)
+            np.testing.assert_array_equal(
+                new, old, err_msg=f"freq={freq} block={block}")
+
+
+def test_analytic_reset_age_state_matches_generic():
+    """The analytic tier's carried sign/age state must equal the generic
+    tier's after every block — Modify carries map it onto recompiled
+    trees, so the bookkeeping has to be right even though the analytic
+    render itself never reads it."""
+    import tuun_tpu.engine.graph as G
+    from tuun_tpu.engine import CompiledVoice
+    w = optimizer.optimize(_std_waveform("sawtooth(10)"))
+    cfg = EngineConfig(100, "fast", jit=False)
+    v_new = CompiledVoice(w, cfg)
+    orig = G.CReset.__dict__["_analytic_ok"]
+    G.CReset._analytic_ok = staticmethod(lambda t, c: False)
+    try:
+        v_old = CompiledVoice(w, cfg)
+    finally:
+        G.CReset._analytic_ok = orig
+    P = v_new.params()
+    st_n = v_new.init(P)
+    st_o = v_old.init(P)
+    for blk in (64, 64, 64, 64, 64, 13):
+        _, _, st_n, _ = v_new.render_block(P, st_n, 64, 0, blk, fast=False)
+        _, _, st_o, _ = v_old.render_block(P, st_o, 64, 0, blk, fast=False)
+        for a, b in zip(jax.tree_util.tree_leaves(st_n),
+                        jax.tree_util.tree_leaves(st_o)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_analytic_reset_reloc_matches_interval():
@@ -442,3 +478,63 @@ def test_analytic_reset_eligibility_gates():
     got = _fast_render(w_ph, 200, 100, 64)
     old = _fast_render(w_ph, 200, 100, 64, analytic=False)
     np.testing.assert_array_equal(got, old)
+
+
+def test_reconstruct_state_matches_continuous_render():
+    """Closed-form state reconstruction for relocatable fast-mode trees
+    (graph.reconstruct_state): rendering onward from the reconstructed
+    state must be BIT-identical to a continuous interval render — the
+    contract behind O(tree) Modify on long-lived fast-path voices."""
+    import jax.numpy as jnp
+    from tuun_tpu.engine import CompiledVoice
+    from tuun_tpu.engine.graph import reconstruct_state
+
+    for text in ("sawtooth(10) * 0.5 + $7",
+                 "triangle(12) | fin(time - 2)",
+                 "($5 * Qw) \\ ($7 * Qw) \\ ($9 * Qw)",
+                 "pulse(0.3, 8) + noise * 0.1",
+                 "sawtooth(11) | ADSR(0.1, 0.2, 0.5, 1.0, 0.3)",
+                 "alt($3, time, 0 - time)"):
+        w = _std_waveform(text)
+        voice = CompiledVoice(w, EngineConfig(100, "fast", jit=True))
+        assert voice.relocatable, text
+        P = voice.params()
+        for pos in (0, 17, 150, 333):
+            st = voice.init(P)
+            full = []
+            done = 0
+            while done < pos + 64:
+                k = min(64, pos + 64 - done)
+                y, _, st, _ = voice.render_block(P, st, 64, 0, k,
+                                                 fast=False)
+                full.append(np.asarray(y)[:k])
+                done += k
+            full = np.concatenate(full)
+            st2 = (jnp.int32(pos),
+                   reconstruct_state(voice.root, P, voice.lits_for(P),
+                                     pos))
+            y, _, st2, _ = voice.render_block(P, st2, 64, 0, 64,
+                                              fast=False)
+            want = full[pos:pos + 64]
+            np.testing.assert_array_equal(
+                np.asarray(y)[:len(want)], want,
+                err_msg=f"{text} pos={pos}")
+
+
+def test_state_at_uses_reconstruction_for_fast_voices():
+    """state_at on a relocatable fast-mode voice must not replay (the
+    closed-form path), and must equal the replay result."""
+    from tuun_tpu.engine import CompiledVoice
+    w = _std_waveform("sawtooth(10) * 0.5 + $7")
+    voice = CompiledVoice(w, EngineConfig(100, "fast", jit=True))
+    P = voice.params()
+    st_fast = voice.state_at(P, 333)
+    # Force the replay path for comparison.
+    reloc_flag = voice.relocatable
+    voice.relocatable = False
+    st_replay = voice.state_at(P, 333, n=64)
+    voice.relocatable = reloc_flag
+    for a, b in zip(jax.tree_util.tree_leaves(st_fast),
+                    jax.tree_util.tree_leaves(st_replay)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   err_msg="state leaf mismatch")

@@ -958,7 +958,9 @@ class CReset(Node):
         nonempty = e > s
         # Trigger state/sign/age bookkeeping, all scalar arithmetic.
         ph_last = acc + jnp.maximum(n_adv - 1, 0).astype(jnp.uint32) * inc
-        age_last = self._analytic_age(inc, ph_last)
+        # (liu fallback only matters for inc == 0, which _analytic_ok
+        # gates out at compile time.)
+        age_last = self._age_from_phase(inc, ph_last, ph_last)
         new_acc = acc + n_adv.astype(jnp.uint32) * inc
         sign = jnp.where(nonempty,
                          jnp.where(ph_last < jnp.uint32(2 ** 31),
@@ -1161,6 +1163,129 @@ Node.reloc = None
 Node.const_expr = None
 Node.subtree_size = 1
 Node.has_capture = False
+
+
+# ---------------------------------------------------------------------------
+# Closed-form state reconstruction for relocatable trees
+# ---------------------------------------------------------------------------
+#
+# A relocatable voice renders on the fast path without ever advancing its
+# node-state tree; a Modify splice must then rebuild the tree state at the
+# current stream position.  Replaying the history costs O(position) — an
+# hour-old voice pays ~20k sequential block renders inside one command.
+# But a relocatable tree is *by definition* stateless in time: every
+# node's interval-path state is a closed-form function of (samples
+# rendered, samples advanced-past), because the only state kinds are
+# positions (cursors = r+adv), NCO phase accumulators (= r*inc, exact
+# u32), Append done-flags (= r+adv > len(a)), and analytic-Reset
+# sign/age scalars (phase arithmetic).  `reconstruct_state` computes the
+# exact state the interval path would have reached, in O(tree) — the
+# fast path's Modify latency cliff disappears.
+#
+# The (r, adv) split mirrors generator.rs's generate()/length() pair:
+# rendering moves every state; advancing moves Position-style state only
+# (Fin skips its truncated inner forward, Binary advances its short
+# operand past the end).  Literal lengths come from the same lits
+# machinery as Fin cutoffs, so everything here is Python-int arithmetic
+# plus a handful of scalar device constants.
+
+
+class FastStateUnsupported(Exception):
+    """Raised when a node's state is not closed-form (stateful subtree,
+    exact-precision accumulators); callers fall back to replay."""
+
+
+def _reloc_len(node: "Node", P, lits) -> Optional[int]:
+    """The node's literal produced length (None = infinite)."""
+    if node.reloc is None:
+        raise FastStateUnsupported(type(node).__name__)
+    _, L = node.reloc(P, jnp.zeros((1,), i32), lits)
+    if L is None:
+        return None
+    if isinstance(L, int):
+        return L
+    raise FastStateUnsupported("traced length")
+
+
+def reconstruct_state(node: "Node", P, lits, r: int, adv: int = 0):
+    """State tree equal to interval-rendering [0, r) and then advancing
+    [r, r+adv), for fast-mode relocatable nodes."""
+    if isinstance(node, CWrap):
+        return reconstruct_state(node.inner, P, lits, r, adv)
+    if isinstance(node, CConst):
+        return ()
+    if isinstance(node, (CTime, CNoise)):
+        return (jnp.int32(min(r + adv, BIG_LIT)),)
+    if isinstance(node, CFixed):
+        return (jnp.int32(min(r + adv, node.length)),)
+    from .timeline import CTimeline
+    if isinstance(node, CTimeline):
+        return (jnp.int32(min(r + adv, BIG_LIT)),)
+    if isinstance(node, CSine):
+        if not node.nco:
+            raise FastStateUnsupported("non-NCO sine")
+        inc = node._nco_inc(P)
+        acc = jnp.uint32(r & 0xFFFFFFFF) * inc
+        # The NCO render never touches the (stateless, const-expr)
+        # frequency subtree; the phase subtree renders the full region.
+        return (acc, node.freq.init(P),
+                reconstruct_state(node.phase, P, lits, r, adv))
+    if isinstance(node, CBinary):
+        la = _reloc_len(node.a, P, lits)
+        if node.op == ir.Operator.MERGE or la is None:
+            rb = r
+        else:
+            rb = min(r, la)  # b renders only to a's valid end
+        return (reconstruct_state(node.a, P, lits, r, adv),
+                reconstruct_state(node.b, P, lits, rb, adv))
+    if isinstance(node, CAppend):
+        la = _reloc_len(node.a, P, lits)
+        if la is None:
+            return (jnp.bool_(False),
+                    reconstruct_state(node.a, P, lits, r, adv),
+                    node.b.init(P))
+        ra = min(r, la)
+        adv_a = max(min(r + adv, la) - ra, 0)
+        rb = max(r - la, 0)
+        adv_b = max(adv - max(la - r, 0), 0)
+        return (jnp.bool_(r + adv > la),
+                reconstruct_state(node.a, P, lits, ra, adv_a),
+                reconstruct_state(node.b, P, lits, rb, adv_b))
+    if isinstance(node, CFin):
+        if node.fin_slot is None:
+            raise FastStateUnsupported("value-path Fin")
+        c = lits[node.fin_slot]
+        rc = min(r, c)
+        return (jnp.int32(min(r + adv, BIG_LIT)),
+                reconstruct_state(node.length, P, lits, 0, r + adv),
+                reconstruct_state(node.inner, P, lits, rc,
+                                  (r - rc) + adv))
+    if isinstance(node, CAlt):
+        lt = _reloc_len(node.trigger, P, lits)
+        rb = r if lt is None else min(r, lt)
+        adv_b = (r - rb) + adv
+        return (reconstruct_state(node.trigger, P, lits, r, adv),
+                reconstruct_state(node.pos, P, lits, rb, adv_b),
+                reconstruct_state(node.neg, P, lits, rb, adv_b))
+    if isinstance(node, CReset):
+        if not node.analytic or node.inner_reloc is None:
+            raise FastStateUnsupported("non-analytic reset")
+        inc = node.trigger._nco_inc(P)
+        acc = jnp.uint32(r & 0xFFFFFFFF) * inc
+        if r > 0:
+            ph_last = jnp.uint32((r - 1) & 0xFFFFFFFF) * inc
+            sign = jnp.where(ph_last < jnp.uint32(2 ** 31),
+                             f32(1.0), f32(-1.0))
+            age = CReset._age_from_phase(inc, ph_last,
+                                         jnp.uint32(r - 1)) + 1
+        else:
+            sign = f32(-1.0)
+            age = jnp.int32(0)
+        # The analytic render leaves the trigger's (stateless, const)
+        # subtrees and the reloc inner's state untouched.
+        strg = (acc, node.trigger.freq.init(P), node.trigger.phase.init(P))
+        return (sign, age, strg, node.inner.init(P))
+    raise FastStateUnsupported(type(node).__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -1479,9 +1604,21 @@ class CompiledVoice:
 
     def state_at(self, P, pos: int, n: int = 8192):
         """Reconstructs the per-node state tree at stream position `pos`
-        by advancing from init (used when a Modify splices a stateful
-        subtree into a voice that has been running on the relocatable
-        fast path, whose node tree is never advanced)."""
+        (used when a Modify splices a stateful subtree into a voice that
+        has been running on the relocatable fast path, whose node tree
+        is never advanced).
+
+        Relocatable fast-mode trees reconstruct in closed form —
+        O(tree), no replay, no latency cliff for long-lived voices (see
+        reconstruct_state).  Anything else replays from init in
+        n-sample blocks (the reference's state is always live; this is
+        the price of the fast path, paid only on the first Modify)."""
+        if self.relocatable and self.cfg.precision == "fast":
+            try:
+                return reconstruct_state(self.root, P,
+                                         self.lits_for(P), pos)
+            except FastStateUnsupported:
+                pass
         fn = self._render_jit.get(("replay", n))
         if fn is None:
             def replay(P, st, e):
