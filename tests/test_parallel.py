@@ -114,3 +114,151 @@ def test_lane_sharded_output_is_time_sharded():
     assert out.shape == (16,)
     ref = engine.render(w, 16, 8, precision="fast", jit=True, block=16)
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@needs_devices
+def test_tracker_mesh_timeline_score_matches_meshless():
+    """A timeline-compiled score (long sequence chain) on a meshed
+    tracker must match the meshless tracker sample-exactly: the literal
+    schedule lives in the compiled structure, and lits travel with the
+    voice group."""
+    from pathlib import Path
+    from tuun_tpu import optimizer
+    from tuun_tpu.evaluator import Evaluator
+    from tuun_tpu.tracker import Tracker
+
+    stdlib = Path(__file__).resolve().parent.parent / "tuun_tpu" / \
+        "stdlib" / "v0"
+    ev = Evaluator(8, 60, stdlib)
+    seg = "0.5 | fin(time - 1) | seq(time - 1)"
+    chain = "<[" + ", ".join([seg] * 8) + "]>"
+    w = optimizer.optimize(ev.evaluate_source(
+        chain, opens=("std",)).waveform.waveform)
+
+    def song(t):
+        t.play("score", w)
+        t.play("score2", w, start=8)
+        return t.run_to_completion(max_seconds=12.0)
+
+    ref = song(Tracker(8, 16, precision="fast", jit=True))
+    got = song(Tracker(8, 16, precision="fast", jit=True,
+                       mesh=default_mesh(8)))
+    n = min(len(ref), len(got))
+    assert n > 0
+    np.testing.assert_array_equal(np.asarray(got[:n]), np.asarray(ref[:n]))
+
+
+@needs_devices
+def test_tracker_mesh_modify_carries_state():
+    """Modify on a meshed voice group: the spliced voice must carry
+    unchanged state exactly as on the meshless tracker (tracker.rs
+    Modify semantics, :415-460)."""
+    from tuun_tpu.tracker import Tracker
+
+    def marked_note(freq, mark):
+        return ir.BinaryPointOp(
+            ir.Operator.MULTIPLY,
+            ir.Sine(ir.Const(freq), ir.Const(0.0)),
+            ir.Marked(mark, ir.Const(1.0)))
+
+    def song(t):
+        for i in range(3):
+            t.play(f"v{i}", marked_note(0.4 + 0.3 * i, "amp"))
+        out = []
+        for _ in range(4):
+            y, _ = t.render_block()
+            out.append(y)
+        # halve one voice's amplitude mid-stream; phases must carry
+        t.modify("v1", "amp", ir.Const(0.5))
+        for _ in range(4):
+            y, _ = t.render_block()
+            out.append(y)
+        t.stop_all()
+        return np.concatenate([np.asarray(b, np.float32) for b in out])
+
+    ref = song(Tracker(8, 16, precision="fast", jit=True))
+    got = song(Tracker(8, 16, precision="fast", jit=True,
+                       mesh=default_mesh(8)))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+@needs_devices
+def test_tracker_mesh_levels():
+    """Per-voice rms/peak levels on meshed voice groups (previously
+    disabled in mesh mode)."""
+    from tuun_tpu.tracker import Tracker
+
+    def long_note(freq):
+        return ir.Fin(
+            ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(),
+                             ir.Const(60.0)),
+            ir.Sine(ir.Const(freq), ir.Const(0.0)))
+
+    mesh = default_mesh(8)
+    t = Tracker(8, 16, precision="fast", jit=True, mesh=mesh, levels=True)
+    for i in range(3):
+        t.play(f"v{i}", long_note(0.4 + 0.3 * i))
+    last = None
+    for _ in range(4):
+        y, status = t.render_block()
+        last = status
+    t._sync_voices(drain=True)
+    levels = {v.id: (v.level_rms, v.level_peak) for v in t.active}
+    assert set(levels) == {"v0", "v1", "v2"}
+    for vid, (rms, peak) in levels.items():
+        assert 0.0 < rms <= peak <= 1.0, (vid, rms, peak)
+
+
+@needs_devices
+def test_tracker_mesh_fast_group_lane_sharded():
+    """Relocatable voice groups on a (4, 2) mesh render lane-sharded
+    (shard_map over both axes) inside the live tracker and must match
+    the meshless tracker."""
+    from tuun_tpu.tracker import Tracker, _CompileCache
+
+    def song(t, fast):
+        t.cfg.reloc_fast = fast  # force the relocatable default on CPU
+        for i in range(5):
+            t.play(f"v{i}", reloc_note(0.4 + 0.3 * i))
+        return t.run_to_completion(max_seconds=4.0)
+
+    ref = song(Tracker(8, 16, precision="fast", jit=True,
+                       compile_cache=_CompileCache()), False)
+    mesh = default_mesh(8)
+    assert mesh.shape["time"] == 2
+    t = Tracker(8, 16, precision="fast", jit=True, mesh=mesh,
+                compile_cache=_CompileCache())
+    got = song(t, True)
+    n = min(len(ref), len(got))
+    assert n >= 16
+    np.testing.assert_allclose(np.asarray(got[:n]), np.asarray(ref[:n]),
+                               atol=1e-5)
+
+
+@needs_devices
+def test_render_voices_meshed_timeline_score():
+    """The one-shot mesh API keeps timeline compilation when every voice
+    resolves the same literal schedule (previously forced to the plain
+    tree)."""
+    from pathlib import Path
+    from tuun_tpu import optimizer
+    from tuun_tpu.evaluator import Evaluator
+
+    stdlib = Path(__file__).resolve().parent.parent / "tuun_tpu" / \
+        "stdlib" / "v0"
+    ev = Evaluator(8, 60, stdlib)
+    segs = ", ".join(f"{v} | fin(time - 1) | seq(time - 1)"
+                     for v in ("0.5", "0.25", "0.75", "0.5", "0.25",
+                               "0.75", "0.5", "0.25"))
+    w = optimizer.optimize(ev.evaluate_source(
+        "<[" + segs + "]>", opens=("std",)).waveform.waveform)
+    from tuun_tpu.engine.graph import CompiledVoice, EngineConfig
+    probe = CompiledVoice(w, EngineConfig(8, "fast", jit=True,
+                                          use_pallas=False))
+    assert probe._has_timeline  # the chain is long enough to timeline
+    voices = [w, w, w]
+    mesh = default_mesh(8)
+    mix = render_voices_meshed(voices, 64, 8, mesh=mesh, block=16)
+    ref = sum(engine.render(w, 64, 8, precision="fast", seed=i, block=16,
+                            jit=True) for i in range(3))
+    np.testing.assert_allclose(mix, ref[:len(mix)], atol=1e-5)

@@ -41,7 +41,7 @@ def default_mesh(n_devices: Optional[int] = None):
 
 
 def _render_reloc_lane_sharded(voice, params, n_samples: int, mesh,
-                               block: int) -> np.ndarray:
+                               block: int, lits=None) -> np.ndarray:
     """Lane-sharded render of relocatable voices: shard_map over the full
     (voice, time) mesh.  Each time shard evaluates the voice's reloc (a
     pure function of the absolute sample index) at its OWN lane window —
@@ -77,7 +77,7 @@ def _render_reloc_lane_sharded(voice, params, n_samples: int, mesh,
     def shard_fn(bp_loc, w_loc, s):
         k = jax.lax.axis_index("time")
         li = s + k * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
-        y = jax.vmap(lambda p: voice.root.reloc(p, li, None)[0])(bp_loc)
+        y = jax.vmap(lambda p: voice.root.reloc(p, li, lits)[0])(bp_loc)
         mix = jnp.sum(y * w_loc[:, None], axis=0)
         return jax.lax.psum(mix, "voice")
 
@@ -90,7 +90,7 @@ def _render_reloc_lane_sharded(voice, params, n_samples: int, mesh,
     # share it), so one reloc call on params[0] answers the None check;
     # the per-voice lengths reduce inside one jitted max.
     def length_of(p):
-        _, L = voice.root.reloc(p, jnp.zeros(1, jnp.int32), None)
+        _, L = voice.root.reloc(p, jnp.zeros(1, jnp.int32), lits)
         return None if L is None else jnp.asarray(L, jnp.int32)
     if length_of(params[0]) is None:
         total = n_samples
@@ -137,19 +137,33 @@ def render_voices_meshed(waveforms: Sequence[ir.Waveform], n_samples: int,
         mesh = default_mesh()
 
     # Pallas kernels don't partition under mesh sharding; the XLA scan
-    # fallbacks do. Timeline schedules are per-voice literals, which a
-    # shared vmapped executable can't hold — plain tree compile.
+    # fallbacks do.  Timeline schedules are literal per parameter set:
+    # when every voice resolves the SAME schedule (the common case — one
+    # score, detuned parameters), the timeline compile is shared and the
+    # meshed render keeps its O(active-structure) cost; otherwise fall
+    # back to the plain tree.
     cfg = EngineConfig(sample_rate, precision=precision, jit=True,
-                       use_pallas=False, timeline=False)
+                       use_pallas=False)
     voice = CompiledVoice(waveforms[0], cfg)
     params = [voice.params_for(w, seed=seed + i)
               for i, w in enumerate(waveforms)]
+    lits = None
+    if voice._has_timeline:
+        all_lits = {voice.lits_for(p) for p in params}
+        if len(all_lits) == 1:
+            lits = all_lits.pop()
+        else:  # divergent schedules: plain tree compile
+            cfg = EngineConfig(sample_rate, precision=precision, jit=True,
+                               use_pallas=False, timeline=False)
+            voice = CompiledVoice(waveforms[0], cfg)
+            params = [voice.params_for(w, seed=seed + i)
+                      for i, w in enumerate(waveforms)]
     if lane_shard is None:
         lane_shard = voice.relocatable and mesh.shape["time"] > 1
     if lane_shard:
         assert voice.relocatable, "lane sharding needs a relocatable voice"
         return _render_reloc_lane_sharded(voice, params, n_samples, mesh,
-                                          block)
+                                          block, lits)
     # Pad the voice axis to a multiple of the mesh's voice-axis size
     # (sharding needs even splits). Padding repeats voice 0 and masks its
     # contribution out of the mix with a zero weight.
@@ -175,7 +189,7 @@ def render_voices_meshed(waveforms: Sequence[ir.Waveform], n_samples: int,
     weights = jax.device_put(weights, wsh)
 
     def step(bp, bs, wts, s, e):
-        render = partial(voice._render_impl, block, False, None)
+        render = partial(voice._render_impl, block, False, lits)
         y, v, bs2, _ = jax.vmap(render, in_axes=(0, 0, None, None))(
             bp, bs, s, e)
         y = jax.lax.with_sharding_constraint(

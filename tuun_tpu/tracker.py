@@ -313,8 +313,12 @@ class VoiceGroup:
     def render(self, n: int, starts, e, levels: bool = False):
         import jax.numpy as jnp
         if self.mesh is not None:
-            fn = self._meshed_render_fn(n)
-            levels = False  # per-voice levels not computed on mesh groups
+            lane = (self.fast and self.compiled.relocatable
+                    and isinstance(self.lits, tuple)
+                    and self.mesh.shape.get("time", 1) > 1
+                    and n % self.mesh.shape["time"] == 0)
+            fn = self._meshed_fast_fn(n, levels) if lane \
+                else self._meshed_render_fn(n, levels)
         elif levels:
             fn = self._levels_render_fn(n)
         else:
@@ -332,8 +336,15 @@ class VoiceGroup:
         _, starts_dev, e_dev = self._arg_cache
         lv = None
         if self.mesh is not None:
-            y_sum, v, self.bstate, caps = fn(
-                self.bparams, self.bstate, self.weights, starts_dev, e_dev)
+            if levels:
+                y_sum, v, self.bstate, caps, rms, peak = fn(
+                    self.bparams, self.bstate, self.weights, starts_dev,
+                    e_dev)
+                lv = (rms, peak)
+            else:
+                y_sum, v, self.bstate, caps = fn(
+                    self.bparams, self.bstate, self.weights, starts_dev,
+                    e_dev)
             v = v[:len(self.voices)]
         elif levels:
             y_sum, v, self.bstate, caps, rms, peak = fn(
@@ -366,14 +377,75 @@ class VoiceGroup:
             self.compiled._render_jit[key] = fn
         return fn
 
-    def _meshed_render_fn(self, n: int):
+    def _meshed_fast_fn(self, n: int, levels: bool):
+        """Lane-sharded render for relocatable mesh groups: shard_map
+        over the full (voice, time) mesh.  Each time shard evaluates the
+        group's reloc closure at ITS OWN lane window only (sequence
+        parallelism — the per-voice lane work genuinely splits, unlike a
+        sharding constraint that re-lays-out a full-width compute); the
+        cross-voice mix is a psum over the voice axis and the output
+        stays partitioned over time.  Levels reduce partial sums over
+        the time axis with a psum/pmax."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec
+        key = ("meshed-fast", n, self.lits, id(self.mesh), levels)
+        fn = self.compiled._render_jit.get(key)
+        if fn is None:
+            mesh = self.mesh
+            compiled = self.compiled
+            lits = self.lits if self.lits is not None else ()
+            tsize = mesh.shape["time"]
+            n_loc = n // tsize
+            assert n % tsize == 0
+            vspec = PartitionSpec("voice")
+
+            def shard_fn(bp, bs, wts, starts, e):
+                k = jax.lax.axis_index("time")
+                base = k * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+
+                def one(P, st, s):
+                    pos, rst = st
+                    y, L = compiled.root.reloc(P, pos + base - s, lits)
+                    if isinstance(L, int):
+                        L = jnp.int32(min(L, 2 ** 30))
+                    v = e if L is None else jnp.clip(s + L - pos, s, e)
+                    y = jnp.where((base >= s) & (base < v), y, 0.0)
+                    return y, v, (pos + jnp.maximum(e - s, 0), rst)
+                y, v, st = jax.vmap(one)(bp, bs, starts)
+                mix = jax.lax.psum(
+                    jnp.sum(y * wts[:, None], axis=0), "voice")
+                outs = (mix, v, st, {})
+                if levels:
+                    sq = jax.lax.psum(jnp.sum(y * y, axis=1), "time")
+                    rms = jnp.sqrt(sq / n)
+                    peak = jax.lax.pmax(
+                        jnp.max(jnp.abs(y), axis=1), "time")
+                    outs = outs + (rms, peak)
+                return outs
+
+            # State spec: (pos[B], rst tree), every leaf voice-sharded;
+            # caps is an empty dict (relocatable => no captures).
+            out_specs = (PartitionSpec("time"), vspec, vspec,
+                         PartitionSpec()) + \
+                ((vspec, vspec) if levels else ())
+            shard_map = jax.shard_map
+            fn = jax.jit(shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(vspec, vspec, vspec, vspec, PartitionSpec()),
+                out_specs=out_specs))
+            self.compiled._render_jit[key] = fn
+        return fn
+
+    def _meshed_render_fn(self, n: int, levels: bool = False):
         """The batched render jitted with the voice axis sharded over the
         mesh: voices render data-parallel on their shards and the mix
-        reduces across them (XLA inserts the psum over ICI)."""
+        reduces across them (XLA inserts the psum over ICI).  With
+        levels=True the per-voice rms/peak reductions run along the time
+        axis inside each shard, so they stay voice-sharded."""
         import jax.numpy as jnp
         from functools import partial
         from jax.sharding import NamedSharding, PartitionSpec
-        key = ("meshed", n, self.fast, self.lits, id(self.mesh))
+        key = ("meshed", n, self.fast, self.lits, id(self.mesh), levels)
         fn = self.compiled._render_jit.get(key)
         if fn is None:
             mesh = self.mesh
@@ -386,11 +458,17 @@ class VoiceGroup:
                     render, in_axes=(0, 0, 0, None))(bp, bs, starts, e)
                 y = jax.lax.with_sharding_constraint(
                     y, NamedSharding(mesh, PartitionSpec("voice", "time")))
-                return jnp.sum(y * wts[:, None], axis=0), v, st, caps
+                mix = jnp.sum(y * wts[:, None], axis=0)
+                if levels:
+                    rms = jnp.sqrt(jnp.mean(y * y, axis=1))
+                    peak = jnp.max(jnp.abs(y), axis=1)
+                    return mix, v, st, caps, rms, peak
+                return mix, v, st, caps
 
-            fn = jax.jit(batched, out_shardings=(
-                NamedSharding(mesh, PartitionSpec("time")), vsh, None, None),
-                donate_argnums=self.compiled._donate_state)
+            out_sh = (NamedSharding(mesh, PartitionSpec("time")), vsh,
+                      None, None) + ((vsh, vsh) if levels else ())
+            fn = jax.jit(batched, out_shardings=out_sh,
+                         donate_argnums=self.compiled._donate_state)
             self.compiled._render_jit[key] = fn
         return fn
 
