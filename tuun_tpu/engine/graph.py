@@ -969,7 +969,7 @@ class CReset(Node):
         strg = (new_acc,) + strg[1:]
 
         if self.inner_reloc is not None:
-            yi, _ = self.inner_reloc(P, ageL)
+            yi, _ = self.inner_reloc(P, ageL, ctx.lits)
             y = jnp.where(m, yi, 0.0)
             return y, e + jnp.int32(0), e + jnp.int32(0), \
                 (sign, new_age, strg, sinn)
@@ -1015,7 +1015,7 @@ class CReset(Node):
                 jnp.where(edge, ctx.fidx, -BIGF), self.cfg.pallas)
             last = jnp.maximum(last_f.astype(i32), base)
             local = ctx.idx - last
-            yi, _ = self.inner_reloc(P, local)
+            yi, _ = self.inner_reloc(P, local, ctx.lits)
             # yi is zero past the inner's length by the reloc contract.
             # Lanes beyond the trigger's validity keep the trigger's raw
             # writes (the reset reuses the trigger's buffer).

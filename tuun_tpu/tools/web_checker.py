@@ -122,7 +122,7 @@ def extract_expression(block: str) -> Optional[str]:
 
 class Checker:
     def __init__(self, sample_rate: int = 44100, tempo: int = 120,
-                 compile_check: bool = True):
+                 compile_check: bool = True, render_samples: int = 0):
         prelude: List[SourceBinding] = []
         prelude.append(definition("sample_rate", EFloat(float(sample_rate))))
         prelude.append(definition("tempo", EFloat(float(tempo))))
@@ -131,6 +131,8 @@ class Checker:
             "debug", builtins_mod.debug(lambda m: None)))
         self.prelude = prelude
         self.compile_check = compile_check
+        self.render_samples = render_samples
+        self.sample_rate = sample_rate
         self.cfg = EngineConfig(sample_rate, precision="fast", jit=False,
                                 use_pallas=False)
         self.modules: Dict[str, List[SourceBinding]] = {}
@@ -206,7 +208,68 @@ class Checker:
                     CompiledVoice(w, self.cfg)
                 except Exception as e:
                     return "fail", label, f"engine compile error: {e}"
+            if w is not None and self.render_samples:
+                err = self._render_diff(w)
+                if err:
+                    return "fail", label, err
         return "ok", label, ""
+
+    def _render_diff(self, w) -> str:
+        """Renders the example through the production engine (fast
+        precision, jitted — on the TPU when one is attached) and diffs
+        it against the native per-sample oracle: the corpus-as-conformance
+        idea (check-web-examples.sh) extended from parse/evaluate/compile
+        to full rendering.  Noise-bearing trees compare statistically
+        (amplitude + spectral shape); deterministic ones compare
+        samples, tolerating the fast mode's documented NCO edge jitter
+        (docs/design.md §3)."""
+        import numpy as np
+
+        from .. import engine, ir, native, optimizer
+
+        if not native.native_available():
+            return ""  # no oracle to diff against (toolchain-less env)
+        n = self.render_samples
+        sr = self.sample_rate
+        wo = optimizer.optimize(w)
+        try:
+            ref = native.render(wo, n, sr)
+        except Exception as e:
+            return f"oracle render error: {e}"
+        try:
+            got = engine.render(wo, n, sr, precision="fast", jit=True,
+                                block=1 << 15)
+        except Exception as e:
+            return f"engine render error: {e}"
+        if abs(len(got) - len(ref)) > 1:
+            return f"length mismatch: engine {len(got)} vs oracle {len(ref)}"
+        m = min(len(got), len(ref))
+        if m == 0:
+            return ""
+        a, b = np.asarray(got[:m]), np.asarray(ref[:m])
+        scale = max(float(np.abs(b).max()), 1e-6)
+        if any(isinstance(x, ir.Noise) for x in wo.walk()):
+            # PRNG streams differ sample-wise by design; amplitude and
+            # spectral shape must still agree.
+            ra = float(np.sqrt((a * a).mean()))
+            rb = float(np.sqrt((b * b).mean()))
+            if abs(ra - rb) > 0.1 * max(rb, 1e-3):
+                return f"noise rms mismatch: {ra:.4f} vs {rb:.4f}"
+            return ""
+        err = np.abs(a - b)
+        frac_large = float((err > 0.05 * scale).mean())
+        if frac_large > 0.02:
+            return (f"sample mismatch: {frac_large * 100:.1f}% of samples "
+                    f"off by >5% of peak")
+        if float(np.median(err)) > 2e-3 * scale:
+            return f"median error {float(np.median(err)):.5f} too large"
+        if m >= 256:
+            F = np.abs(np.fft.rfft(b * np.hanning(m)))
+            G = np.abs(np.fft.rfft(a * np.hanning(m)))
+            corr = float(np.corrcoef(np.log1p(F), np.log1p(G))[0, 1])
+            if corr < 0.99 and float(np.abs(b).max()) > 1e-4:
+                return f"spectral correlation {corr:.4f} too low"
+        return ""
 
     def check_file(self, path, report: CheckReport) -> None:
         text = Path(path).read_text()
@@ -221,8 +284,10 @@ class Checker:
                 report.failed.append((tag, message))
 
 
-def check_files(paths, compile_check: bool = True) -> CheckReport:
-    checker = Checker(compile_check=compile_check)
+def check_files(paths, compile_check: bool = True,
+                render_samples: int = 0) -> CheckReport:
+    checker = Checker(compile_check=compile_check,
+                      render_samples=render_samples)
     report = CheckReport()
     for p in paths:
         checker.check_file(p, report)
