@@ -134,11 +134,12 @@ class EngineConfig:
     timeline: bool = True
     # Opt-in: render relocatable voices via root.reloc (a single pure
     # function of the absolute index) instead of the interval machinery.
-    # Measured on v5e via axon: the resulting single giant fusion
-    # compiles to ~15x SLOWER code than the regular state-threaded path
-    # (Mosaic de-vectorizes large fusions containing selects), so the
-    # interval path stays the default; the reloc path remains for
-    # experimentation and as the basis for a future Pallas evaluator.
+    # Measured verdict on v5e (docs/design.md §6): with analytic Reset
+    # edges the interval machinery beats whole-voice evaluation ~30x in
+    # BOTH its formulations (giant XLA fusion and a Pallas kernel
+    # tracing the same closure), so this stays opt-in — its production
+    # consumer is mesh lane sharding, where splitting a block's lanes
+    # across chips is a genuine parallelism win.
     reloc_fast: bool = False
 
     @property
@@ -1493,17 +1494,19 @@ class CompiledVoice:
         # sequences built from NCO sines, envelopes, and appends).
         self.relocatable = (self.root.reloc is not None
                             and not compiler.captures)
-        # Whole-voice Pallas eligibility: the reloc closure must trace
-        # through Mosaic — no Fixed payload gathers, no timeline
-        # schedule scatters (pallas_ops.reloc_voice_f32).
-        self.reloc_kernel_ok = (
-            self.relocatable and not compiler.has_timeline
-            and not any(isinstance(x, ir.Fixed) for x in w.walk()))
-        # Default path for new voices: the whole-voice Pallas evaluator
-        # when the structure supports it on a TPU backend, or the XLA
-        # reloc fusion when the config opts in explicitly.
-        self.fast_default = self.relocatable and (
-            cfg.reloc_fast or (self.reloc_kernel_ok and cfg.pallas))
+        # Default path for new voices: reloc only when the config opts
+        # in.  Measured verdict (docs/design.md §6): with analytic Reset
+        # edges the interval machinery renders content blocks ~30x
+        # faster than EITHER whole-voice formulation (giant XLA fusion
+        # or a single Pallas kernel tracing the same closure) — the
+        # single-pass select/compare-per-lane evaluation is slow on this
+        # hardware regardless of codegen route.  reloc rendering remains
+        # opt-in for mesh lane sharding (where splitting lanes across
+        # chips is a genuine parallelism win) and experiments; reloc
+        # closures also power symbolic lengths, closed-form state
+        # reconstruction, and timeline evaluation independent of this
+        # flag.
+        self.fast_default = self.relocatable and cfg.reloc_fast
         self._base_consts = np.asarray(compiler.const_values, np.float32) \
             if compiler.const_values else np.zeros((0,), np.float32)
         self._base_fixeds = tuple(compiler.fixed_values)
@@ -1651,23 +1654,7 @@ class CompiledVoice:
             # threading, no per-node interval bookkeeping, and the stream
             # length is a trace-time literal — the valid end is plain
             # scalar arithmetic, no cross-lane reduction.
-            y = None
-            if self.reloc_kernel_ok and self.cfg.pallas \
-                    and isinstance(lits, tuple):
-                # Whole-voice Pallas evaluator: the same reloc closure
-                # traced inside one Mosaic kernel (tile-wise VMEM
-                # evaluation) instead of one giant XLA fusion, which
-                # de-vectorizes (docs/design.md §6).
-                from .pallas_ops import reloc_voice_f32
-                y = reloc_voice_f32(
-                    lambda KP, li: self.root.reloc(KP, li, lits),
-                    P.consts, P.seed, pos - s, n)
-            if y is not None:
-                # Length only — the 1-lane evaluation is dead-code
-                # eliminated by XLA; only the literal length survives.
-                _, L = self.root.reloc(P, jnp.zeros((1,), i32), lits)
-            else:
-                y, L = self.root.reloc(P, pos + ctx.idx - s, lits)
+            y, L = self.root.reloc(P, pos + ctx.idx - s, lits)
             if isinstance(L, int):
                 L = jnp.int32(min(L, BIG_LIT))
             v = e if L is None else jnp.clip(s + L - pos, s, e)

@@ -345,101 +345,6 @@ def affine_scan_f32(a_rows: jnp.ndarray, ff: jnp.ndarray,
     return h, hist
 
 
-# ---------------------------------------------------------------------------
-# Whole-voice reloc evaluator — one kernel per block for relocatable voices
-# ---------------------------------------------------------------------------
-#
-# A relocatable voice is a pure function of the absolute sample index
-# (graph.Node.reloc).  Evaluating that function as ONE giant XLA fusion
-# (EngineConfig.reloc_fast) compiles to ~15x slower code than the interval
-# machinery — Mosaic de-vectorizes large fusions containing selects (see
-# docs/design.md §6).  Tracing the SAME reloc closure inside a Pallas
-# kernel sidesteps the fusion heuristics entirely: the expression tree
-# evaluates tile-by-tile on [chunk, LANE] VMEM registersized planes, with
-# Const parameters read from SMEM.  The reference's analogue is the
-# single fused recursive traversal of generator.rs:86-380 — this is that
-# traversal as a TPU kernel.
-#
-# Eligibility (checked by the compiler, graph.CompiledVoice): the tree
-# must be relocatable, contain no Fixed payloads (per-lane gathers from
-# VMEM arrays don't vectorize) and no timeline nodes (their schedule
-# scatter belongs to XLA).  All reloc arithmetic — NCO sines, u32 noise
-# hashes, analytic reset ages (u32 divides), envelope masks with literal
-# thresholds — lowers through Mosaic; unsigned<->float conversions go
-# through bitcasts (noise_jnp, CSine._nco_inc).
-
-
-class _SmemConsts:
-    """Duck-typed stand-in for Params.consts inside the kernel: static
-    integer indexing reads a scalar from the SMEM const vector."""
-
-    def __init__(self, ref):
-        self._ref = ref
-
-    def __getitem__(self, i):
-        return self._ref[i]
-
-
-class _KernelParams:
-    """Params shim passed to reloc closures inside the kernel."""
-
-    __slots__ = ("consts", "fixeds", "seed")
-
-    def __init__(self, consts, seed):
-        self.consts = consts
-        self.fixeds = ()  # eligibility excludes Fixed nodes
-        self.seed = seed
-
-
-RELOC_CHUNK = 512
-
-
-def reloc_voice_f32(reloc_fn, consts, seed, base, n: int,
-                    interpret: bool = False):
-    """Evaluates `reloc_fn(P, li)` for li = base + [0, n) in one Pallas
-    launch, returning f32[n].
-
-    reloc_fn: fn(params_shim, li[chunk, LANE] i32) -> (y f32, length) —
-      a graph.Node.reloc closure with lits already bound (literals).
-    consts: f32[n_consts] Const parameter vector (SMEM).
-    seed:   u32 scalar noise stream id.
-    base:   i32 scalar, the absolute index of lane 0 (traced OK).
-    Returns None when n doesn't tile (caller falls back to XLA)."""
-    if n % LANE != 0:
-        return None
-    rows = n // LANE
-    chunk = math.gcd(rows, RELOC_CHUNK)
-
-    def kernel(consts_ref, seed_ref, base_ref, o_ref):
-        i = pl.program_id(0)
-        b = base_ref[0] + i * (chunk * LANE)
-        r = jax.lax.broadcasted_iota(jnp.int32, (chunk, LANE), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (chunk, LANE), 1)
-        li = b + r * LANE + c
-        P = _KernelParams(_SmemConsts(consts_ref), seed_ref[0])
-        y, _ = reloc_fn(P, li)
-        o_ref[:] = y.astype(jnp.float32)
-
-    nc = max(1, consts.shape[0])
-    cvec = consts if consts.shape[0] else jnp.zeros((1,), jnp.float32)
-    out = pl.pallas_call(
-        kernel,
-        grid=(rows // chunk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((chunk, LANE), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
-        interpret=interpret,
-    )(cvec.astype(jnp.float32).reshape(nc),
-      jnp.reshape(seed, (1,)).astype(jnp.uint32),
-      jnp.reshape(base, (1,)).astype(jnp.int32))
-    return out.reshape(n)
-
-
 def pallas_available() -> bool:
     """True when running on a TPU backend where these kernels compile."""
     try:
