@@ -59,3 +59,25 @@ def test_precompute_keeps_dynamic_parts():
     ref = oracle.render(w, 100, 100)
     got = oracle.render(pw, 100, 100)
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+@pytest.mark.skipif(not REFERENCE_DOCS.is_dir(),
+                    reason="reference docs not available")
+def test_corpus_render_diff_subset():
+    """A few docs-corpus files rendered through the production engine
+    (fast precision) and diffed against the native oracle — the bench's
+    corpus_render lane (bench.bench_corpus) in CI form.  The full-corpus
+    sweep runs on the TPU in bench.py; this subset keeps the render-diff
+    machinery (including noise statistics and the reset-inner lits
+    threading it once caught) exercised on every test run."""
+    from tuun_tpu import native
+    from tuun_tpu.tools.web_checker import check_files
+    if not native.native_available():
+        pytest.skip("native oracle unavailable")
+    files = [REFERENCE_DOCS / "instruments.md",
+             REFERENCE_DOCS / "index.md"]
+    files = [f for f in files if f.exists()]
+    assert files
+    report = check_files(files, render_samples=4096)
+    assert not report.failed, report.failed
+    assert len(report.ok) >= 5
