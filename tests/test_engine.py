@@ -357,13 +357,16 @@ def _fast_render(w, n, sr, block, analytic=True, jit=True):
     analytic=False (compiles the generic sampled-sign path)."""
     import tuun_tpu.engine.graph as G
     orig = G.CReset.__dict__["_analytic_ok"]
+    orig_w = G.CReset.__dict__["_wrap_edge_info"]
     if not analytic:
         G.CReset._analytic_ok = staticmethod(lambda t, c: False)
+        G.CReset._wrap_edge_info = classmethod(lambda cls, t, c: None)
     try:
         return engine.render(w, n, sr, precision="fast", block=block,
                              jit=jit)
     finally:
         G.CReset._analytic_ok = orig
+        G.CReset._wrap_edge_info = orig_w
 
 
 def _std_waveform(text, sr=100, tempo=60):
@@ -480,6 +483,96 @@ def test_analytic_reset_eligibility_gates():
     np.testing.assert_array_equal(got, old)
 
 
+def _root_reset(w, sr=100):
+    import tuun_tpu.engine.graph as G
+    node = compile_voice(optimizer.optimize(w),
+                         EngineConfig(sr, "fast", jit=False)).root
+    while not isinstance(node, G.CReset):
+        node = getattr(node, "inner", None) or node.a
+    return node
+
+
+def test_composite_trigger_reset_matches_sampled_sign_path():
+    """Oscillator-shaped triggers — reset(sawtooth(f), x) /
+    reset(pulse(w, f), x), the hard-sync pattern — go analytic via the
+    composite wrap-edge tier (CReset._wrap_edge_info): the trigger is a
+    pointwise tree over one analytic Reset whose one-period sign pattern
+    is verified numerically at compile time.  Must be bit-identical to
+    the generic sampled-sign path (generator.rs:281-318 semantics)."""
+    cases = ("reset(sawtooth(9), time * -9)",
+             "reset(pulse(0.7, 11), $25 * 0.5)",
+             "reset(pulse(0.25, 6.7), time)",
+             "reset(sawtooth(7.3), triangle(10) * 0.5)",
+             # stateful inner: the three-render scheme under the
+             # composite analytic tier
+             "reset(pulse(0.5, 4.2), noise | lpf(0.5, 20))")
+    for text in cases:
+        w = _std_waveform(text)
+        node = _root_reset(w)
+        assert node.analytic and node._trig is not None, text
+        for block in (7, 64):
+            new = _fast_render(w, 300, 100, block)
+            old = _fast_render(w, 300, 100, block, analytic=False)
+            np.testing.assert_array_equal(
+                new, old, err_msg=f"{text} block={block}")
+
+
+def test_composite_trigger_rejections_stay_generic():
+    """Triggers whose rising edges are NOT at the base NCO's phase wraps
+    must be rejected by the numeric sign-pattern check and keep the
+    sampled-sign path: triangle rises mid-period; a width modulated by
+    its own sine makes the pulse value depend on absolute time, not the
+    base Reset's age."""
+    for text in ("reset(triangle(10), time)",
+                 "reset(pulse(0.9 + 0.05 * $(1.6), 10), time)",
+                 # square = alt over a bare sine leaf: a sine's value is
+                 # a function of its phase, not of any Reset's age, so
+                 # the function-of-age proof doesn't apply.
+                 "reset(square(10), time)"):
+        node = _root_reset(_std_waveform(text))
+        assert not node.analytic, text
+
+
+def test_composite_trigger_state_matches_generic():
+    """Carried sign/age for composite triggers (the k-prefix sign rule)
+    must equal the generic tier's sampled bookkeeping block by block."""
+    import tuun_tpu.engine.graph as G
+    from tuun_tpu.engine import CompiledVoice
+    w = _std_waveform("reset(pulse(0.7, 11), $25 * 0.5)")
+    cfg = EngineConfig(100, "fast", jit=False)
+    v_new = CompiledVoice(w, cfg)
+    orig = G.CReset.__dict__["_analytic_ok"]
+    orig_w = G.CReset.__dict__["_wrap_edge_info"]
+    G.CReset._analytic_ok = staticmethod(lambda t, c: False)
+    G.CReset._wrap_edge_info = classmethod(lambda cls, t, c: None)
+    try:
+        v_old = CompiledVoice(w, cfg)
+    finally:
+        G.CReset._analytic_ok = orig
+        G.CReset._wrap_edge_info = orig_w
+    assert isinstance(v_new.root, G.CReset) and v_new.root._trig is not None
+    assert isinstance(v_old.root, G.CReset) and not v_old.root.analytic
+    P = v_new.params()
+    st_n = v_new.init(P)
+    st_o = v_old.init(P)
+    # The outer reset's (sign, age) live at the state root; the nested
+    # trigger sub-states legitimately diverge (the analytic tier leaves
+    # everything but the base NCO accumulator untouched), so compare
+    # the outer scalars and the accumulator only.
+    root_new = v_new.root
+    for blk in (64, 64, 64, 13, 64):
+        _, _, st_n, _ = v_new.render_block(P, st_n, 64, 0, blk, fast=False)
+        _, _, st_o, _ = v_old.render_block(P, st_o, 64, 0, blk, fast=False)
+        rs_n, rs_o = st_n[1], st_o[1]  # voice state = (pos, node state)
+        np.testing.assert_array_equal(np.asarray(rs_n[0]),
+                                      np.asarray(rs_o[0]))  # sign
+        np.testing.assert_array_equal(np.asarray(rs_n[1]),
+                                      np.asarray(rs_o[1]))  # age
+        np.testing.assert_array_equal(
+            np.asarray(root_new._acc_get(rs_n[2])),
+            np.asarray(root_new._acc_get(rs_o[2])))  # base NCO acc
+
+
 def test_reconstruct_state_matches_continuous_render():
     """Closed-form state reconstruction for relocatable fast-mode trees
     (graph.reconstruct_state): rendering onward from the reconstructed
@@ -494,7 +587,9 @@ def test_reconstruct_state_matches_continuous_render():
                  "($5 * Qw) \\ ($7 * Qw) \\ ($9 * Qw)",
                  "pulse(0.3, 8) + noise * 0.1",
                  "sawtooth(11) | ADSR(0.1, 0.2, 0.5, 1.0, 0.3)",
-                 "alt($3, time, 0 - time)"):
+                 "alt($3, time, 0 - time)",
+                 # composite analytic trigger (hard sync)
+                 "reset(pulse(0.7, 11), $25 * 0.5) | fin(time - 3)"):
         w = _std_waveform(text)
         voice = CompiledVoice(w, EngineConfig(100, "fast", jit=True))
         assert voice.relocatable, text

@@ -888,17 +888,51 @@ class CReset(Node):
         self.inner = inner
         self.inner_reloc = inner.reloc
         self.compiler = compiler
+        # Composite-trigger info: (base CSine, acc path into the trigger
+        # state tree, positive-prefix length k in samples) — see
+        # _wrap_edge_info.  None for the plain-sine analytic case.
+        self._trig = None
         self.analytic = self._analytic_ok(trigger, compiler)
+        if not self.analytic:
+            self._trig = self._wrap_edge_info(trigger, compiler)
+            self.analytic = self._trig is not None
         if self.analytic and inner.reloc is not None:
             inner_reloc = inner.reloc
 
             def reloc(P, li, lits=None):
                 age = self._analytic_age(
-                    trigger._nco_inc(P),
+                    self._inc(P),
                     jnp.maximum(li, 0).astype(jnp.uint32))
                 yi, _ = inner_reloc(P, age, lits)
                 return yi, None  # trigger (= validity) is infinite
             self.reloc = reloc
+
+    # -- analytic-trigger plumbing ---------------------------------------
+    # The trigger's NCO accumulator is strg[0] for a plain sine trigger;
+    # for a composite trigger it lives at _trig's recorded path inside
+    # the (never otherwise touched) trigger state tree.
+
+    def _inc(self, P):
+        """Phase increment of the NCO whose wraps are the reset edges."""
+        if self._trig is None:
+            return self.trigger._nco_inc(P)
+        return self._trig[0]._nco_inc(P)
+
+    def _acc_path(self):
+        return (0,) if self._trig is None else self._trig[1]
+
+    def _acc_get(self, strg):
+        for i in self._acc_path():
+            strg = strg[i]
+        return strg
+
+    def _acc_set(self, strg, v):
+        def go(tree, path):
+            if not path:
+                return v
+            i = path[0]
+            return tree[:i] + (go(tree[i], path[1:]),) + tree[i + 1:]
+        return go(strg, self._acc_path())
 
     @staticmethod
     def _analytic_ok(trigger: Node, compiler: "Compiler") -> bool:
@@ -925,6 +959,106 @@ class CReset(Node):
         # reloc path's absolute indices.
         return phase_v == 0.0 and 2.0 ** -20 < fc < 0.5
 
+    @classmethod
+    def _wrap_edge_info(cls, trigger: Node, compiler: "Compiler"):
+        """Composite analytic triggers: every stdlib oscillator shape —
+        sawtooth = reset(sine, ramp), pulse = alt(sawtooth - w, 1, -1),
+        triangle — is a tree of pointwise const ops over exactly ONE
+        analytic Reset, so its value is a pure function of that Reset's
+        age, repeating with the base NCO's period.  If its sampled sign
+        over one period is a non-negative prefix followed by a strictly
+        negative tail, its neg->pos transitions coincide exactly with
+        the base NCO's phase wraps and the sine-trigger age formula
+        (age = phase // inc) applies unchanged (generator.rs:281-318
+        pays an O(n) scalar scan for the same edges).
+
+        The structural walk admits Const/Binary/Alt/markers over one
+        base Reset (no Time/Noise/Fixed/Sine leaves — those break the
+        function-of-age property); the sign pattern is then checked
+        NUMERICALLY at compile time by evaluating the trigger's reloc
+        closure over ages 0..A on the host CPU with the current const
+        values (the same same-structure-params caveat as _analytic_ok's
+        frequency bounds, which in practice never rebind).  Returns
+        (base_sine, acc_path, k) or None.
+        """
+        if trigger.has_capture or trigger.reloc is None:
+            return None
+        found = []
+
+        def walk(node, path):
+            while isinstance(node, CWrap):
+                if node.capture_stem is not None:
+                    return False
+                node = node.inner  # state passthrough: no tuple level
+            if isinstance(node, CConst):
+                return True
+            if isinstance(node, CBinary):
+                return walk(node.a, path + (0,)) \
+                    and walk(node.b, path + (1,))
+            if isinstance(node, CAlt):
+                return walk(node.trigger, path + (0,)) \
+                    and walk(node.pos, path + (1,)) \
+                    and walk(node.neg, path + (2,))
+            if isinstance(node, CReset) and node.analytic \
+                    and node._trig is None \
+                    and node.inner_reloc is not None \
+                    and isinstance(node.trigger, CSine):
+                found.append((node, path))
+                return True
+            return False
+
+        if not walk(trigger, ()) or len(found) != 1:
+            return None
+        base_reset, path = found[0]
+        base_sine = base_reset.trigger
+        # inc replicated in exact f32 NCO arithmetic (mirrors _nco_inc).
+        try:
+            freq_v = np.float32(
+                compiler.const_values[base_sine.freq.index])
+        except Exception:
+            return None
+        fc = freq_v / np.float32(trigger.cfg.sample_rate * TAU)
+        frac = np.float32(fc - np.floor(fc))
+        x = frac * np.float32(2.0 ** 32)
+        if x >= np.float32(2 ** 31):
+            inc = int(np.uint32(np.int32(np.float32(
+                x - np.float32(2 ** 31)))) + np.uint32(2 ** 31))
+        else:
+            inc = int(np.int32(x))
+        if inc <= 0:
+            return None
+        A = (2 ** 32 - 1) // inc  # max age within a period
+        if A < 2 or A > 2 ** 21:
+            return None
+        # One-period sign pattern via the trigger's own reloc closure
+        # (ages == local indices before the first wrap), on the host.
+        P0 = Params(jnp.asarray(np.asarray(compiler.const_values,
+                                           np.float32)),
+                    (), jnp.zeros((), jnp.uint32))
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except Exception:  # pragma: no cover - axon-only builds
+            cpu = None
+        try:
+            with jax.default_device(cpu):
+                y, _ = trigger.reloc(P0, jnp.arange(A + 1, dtype=i32))
+                g = np.asarray(jax.device_get(y))
+        except Exception:
+            return None
+        if not np.isfinite(g).all():
+            return None
+        pos = g >= 0.0
+        neg = np.signbit(g)
+        if not pos[0] or neg[0]:
+            return None
+        k = int(np.argmin(pos)) if not pos.all() else len(pos)
+        # Need g[A-1] and g[A] strictly negative (the pre-wrap lane is
+        # one of them depending on phase residue) and no internal rise.
+        if k > A - 1 or pos[k:].any() or not neg[k:].all() \
+                or neg[:k].any():
+            return None
+        return (base_sine, path + (2, 0), k)
+
     @staticmethod
     def _age_from_phase(inc, ph, liu):
         """Exact samples-since-last-edge given the NCO phase `ph` at the
@@ -949,8 +1083,8 @@ class CReset(Node):
         cross-lane scans or reductions.  Bit-identical to the generic
         path below — the phase-bit sign rule is exact (see class doc)."""
         sign, age, strg, sinn = st
-        acc = strg[0]  # the trigger CSine's NCO phase accumulator
-        inc = self.trigger._nco_inc(P)
+        acc = self._acc_get(strg)  # the base NCO's phase accumulator
+        inc = self._inc(P)
         local = (ctx.idx - s).astype(jnp.uint32)
         ph = acc + local * inc  # absolute NCO phase per lane
         ageL = self._age_from_phase(inc, ph, local)
@@ -963,11 +1097,17 @@ class CReset(Node):
         # gates out at compile time.)
         age_last = self._age_from_phase(inc, ph_last, ph_last)
         new_acc = acc + n_adv.astype(jnp.uint32) * inc
+        if self._trig is None:
+            # Sine trigger: non-negative exactly while phase < half turn.
+            pos_last = ph_last < jnp.uint32(2 ** 31)
+        else:
+            # Composite trigger: non-negative exactly on the verified
+            # k-sample positive prefix of each period.
+            pos_last = age_last < jnp.int32(self._trig[2])
         sign = jnp.where(nonempty,
-                         jnp.where(ph_last < jnp.uint32(2 ** 31),
-                                   f32(1.0), f32(-1.0)), sign)
+                         jnp.where(pos_last, f32(1.0), f32(-1.0)), sign)
         new_age = jnp.where(nonempty, age_last + 1, age)
-        strg = (new_acc,) + strg[1:]
+        strg = self._acc_set(strg, new_acc)
 
         if self.inner_reloc is not None:
             yi, _ = self.inner_reloc(P, ageL, ctx.lits)
@@ -1271,20 +1411,25 @@ def reconstruct_state(node: "Node", P, lits, r: int, adv: int = 0):
     if isinstance(node, CReset):
         if not node.analytic or node.inner_reloc is None:
             raise FastStateUnsupported("non-analytic reset")
-        inc = node.trigger._nco_inc(P)
+        inc = node._inc(P)
         acc = jnp.uint32(r & 0xFFFFFFFF) * inc
         if r > 0:
             ph_last = jnp.uint32((r - 1) & 0xFFFFFFFF) * inc
-            sign = jnp.where(ph_last < jnp.uint32(2 ** 31),
-                             f32(1.0), f32(-1.0))
             age = CReset._age_from_phase(inc, ph_last,
                                          jnp.uint32(r - 1)) + 1
+            if node._trig is None:
+                sign = jnp.where(ph_last < jnp.uint32(2 ** 31),
+                                 f32(1.0), f32(-1.0))
+            else:
+                sign = jnp.where(age - 1 < jnp.int32(node._trig[2]),
+                                 f32(1.0), f32(-1.0))
         else:
             sign = f32(-1.0)
             age = jnp.int32(0)
-        # The analytic render leaves the trigger's (stateless, const)
-        # subtrees and the reloc inner's state untouched.
-        strg = (acc, node.trigger.freq.init(P), node.trigger.phase.init(P))
+        # The analytic render leaves the trigger's state untouched apart
+        # from the base NCO accumulator (stale sub-states by design —
+        # reconstruction must match what the render actually carries).
+        strg = node._acc_set(node.trigger.init(P), acc)
         return (sign, age, strg, node.inner.init(P))
     raise FastStateUnsupported(type(node).__name__)
 
