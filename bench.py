@@ -122,37 +122,42 @@ def bench_one(name, w, seconds=8.0, warmup_blocks=2):
             sizes.append(min(BLOCK, left))
             left -= sizes[-1]
     ends = {m: jax.numpy.int32(m) for m in set(sizes)}
-    # Warmup/compile (all block-end variants).
-    state = voice.init(P)
-    for _ in range(warmup_blocks):
-        for m in ends:
-            y, v, state, _ = fn(P, state, s, ends[m])
-    jax.block_until_ready((y, state))
-    # Timed rendering: pipeline whole passes over the piece, one sync at
-    # the end (the ~30ms link round trip amortizes like in the streaming
-    # tracker). Each pass re-inits state (a pipelined device op).
     per_pass = sum(sizes)
-    # Enough pipelined dispatches to amortize the single ~30ms sync.
-    passes = max(1, -(-32 // len(sizes)))
     if audio is None:
-        passes = 1
-        sizes = sizes * max(32, int(seconds * SAMPLE_RATE / BLOCK))
-        per_pass = sum(sizes)
+        # Infinite stream: block-by-block with carried state.
+        state = voice.init(P)
+        for _ in range(warmup_blocks):
+            for m in ends:
+                y, v, state, _ = fn(P, state, s, ends[m])
+        jax.block_until_ready((y, state))
+        passes = max(32, int(seconds * SAMPLE_RATE / BLOCK))
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(passes):
+                y, v, state, _ = fn(P, state, s, ends[BLOCK])
+            jax.block_until_ready((y, state))
+            dt = time.perf_counter() - t0
+            best = max(best, passes * BLOCK / dt)
+        return best
+    # Finite piece: one fused init+render executable per pass (a pass is
+    # ONE dispatch — offline rendering through the device link is
+    # dispatch-bound, and a fresh state tree is dozens of transfers).
+    nf = voice.note_fn(sizes, P=P)
+    y, v, state = nf(P)
+    jax.block_until_ready((y, state))
+    passes = 32
     # Best of two timed repetitions: the tunnel's enqueue rate swings
     # 3-4x run-to-run (the device appears time-shared); the faster rep
     # is the hardware's number, the slower one is contention.
     best = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
-        total = 0
         for _ in range(passes):
-            state = voice.init(P)
-            for m in sizes:
-                y, v, state, _ = fn(P, state, s, ends[m])
-            total += per_pass
+            y, v, state = nf(P)
         jax.block_until_ready((y, state))
         dt = time.perf_counter() - t0
-        best = max(best, total / dt)
+        best = max(best, passes * per_pass / dt)
     return best
 
 
@@ -220,28 +225,24 @@ def bench_instrument(expr="harmonica(10.0, 440)", seconds=8.0,
     cfg = EngineConfig(48000, precision="fast", jit=True)
     voice = CompiledVoice(w, cfg)
     P = voice.params()
-    fn = voice.render_fn(block, P=P)
-    s = jnp.int32(0)
     left = int(audio_seconds * 48000)
     sizes = []
     while left > 0:
         sizes.append(min(block, left))
         left -= sizes[-1]
-    ends = {m: jnp.int32(m) for m in set(sizes)}
-    state = voice.init(P)
-    for m in ends:
-        y, v, state, _ = fn(P, state, s, ends[m])
-    jax.block_until_ready((y, state))
     per_pass = sum(sizes)
-    # Enough pipelined dispatches to amortize the single ~30ms sync.
-    passes = max(2, -(-32 // len(sizes)))
+    # One fused init+render executable per pass (see bench_one): a whole
+    # note costs ONE dispatch, so the ~30ms link round trip and per-call
+    # enqueue costs amortize over 32 pipelined passes.
+    nf = voice.note_fn(sizes, P=P)
+    y, v, state = nf(P)
+    jax.block_until_ready((y, state))
+    passes = 32
     sps = 0.0
     for _ in range(2):  # best of two: see bench_one's contention note
         t0 = time.perf_counter()
         for _ in range(passes):
-            state = voice.init(P)
-            for m in sizes:
-                y, v, state, _ = fn(P, state, s, ends[m])
+            y, v, state = nf(P)
         jax.block_until_ready((y, state))
         dt = time.perf_counter() - t0
         sps = max(sps, passes * per_pass / dt)

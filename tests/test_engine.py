@@ -358,15 +358,18 @@ def _fast_render(w, n, sr, block, analytic=True, jit=True):
     import tuun_tpu.engine.graph as G
     orig = G.CReset.__dict__["_analytic_ok"]
     orig_w = G.CReset.__dict__["_wrap_edge_info"]
+    orig_p = G.CReset.__dict__["_wrap_edge_info_pwm"]
     if not analytic:
         G.CReset._analytic_ok = staticmethod(lambda t, c: False)
         G.CReset._wrap_edge_info = classmethod(lambda cls, t, c: None)
+        G.CReset._wrap_edge_info_pwm = classmethod(lambda cls, t, c: None)
     try:
         return engine.render(w, n, sr, precision="fast", block=block,
                              jit=jit)
     finally:
         G.CReset._analytic_ok = orig
         G.CReset._wrap_edge_info = orig_w
+        G.CReset._wrap_edge_info_pwm = orig_p
 
 
 def _std_waveform(text, sr=100, tempo=60):
@@ -518,59 +521,104 @@ def test_composite_trigger_reset_matches_sampled_sign_path():
 
 
 def test_composite_trigger_rejections_stay_generic():
-    """Triggers whose rising edges are NOT at the base NCO's phase wraps
-    must be rejected by the numeric sign-pattern check and keep the
-    sampled-sign path: triangle rises mid-period; a width modulated by
-    its own sine makes the pulse value depend on absolute time, not the
-    base Reset's age."""
+    """Triggers whose rising edges are NOT (provably) at the base NCO's
+    phase wraps must be rejected and keep the sampled-sign path:
+    triangle rises mid-period; a PWM width whose bound can swallow the
+    sawtooth's top kills the guaranteed-positive wrap lane; an LFO
+    faster than the sawtooth's own slope can create mid-period rising
+    edges; square = alt over a bare sine leaf (a sine's value is a
+    function of its phase, not of any Reset's age, so the
+    function-of-age proof doesn't apply)."""
     for text in ("reset(triangle(10), time)",
-                 "reset(pulse(0.9 + 0.05 * $(1.6), 10), time)",
-                 # square = alt over a bare sine leaf: a sine's value is
-                 # a function of its phase, not of any Reset's age, so
-                 # the function-of-age proof doesn't apply.
+                 "reset(pulse(0.2 + 0.9 * $(1.6), 10), time)",
+                 "reset(pulse(0.5 + 0.5 * $(49), 10), time)",
                  "reset(square(10), time)"):
         node = _root_reset(_std_waveform(text))
         assert not node.analytic, text
 
 
+def test_pwm_trigger_admitted_and_bit_identical():
+    """Modulated-width (PWM) composite triggers — the harmonica's
+    `locked = reset(breathy, ...)` shape — are admitted by the interval
+    verification (graph._wrap_edge_info_pwm) and must stay BIT-identical
+    to the generic sampled-sign tier: edges ride the base NCO's wraps,
+    the runtime sign comes from the closed-form last-lane evaluation.
+    Reference pays an O(n) scalar sign scan here (generator.rs:281-318)."""
+    cases = ("reset(pulse(0.9 + 0.05 * $(1.6), 10), time)",
+             "reset(pulse(0.5 + 0.3 * $(2.3), 7.3), $25 * 0.5)",
+             # stateful inner: the three-render scheme under a PWM trigger
+             "reset(pulse(0.9 + 0.05 * $(1.6), 10), noise | lpf(0.5, 20))",
+             # the harmonica 'locked' shape: PWM trigger, pulse inner
+             "reset(pulse(0.93 + 0.05 * $(1.6), 11), pulse(0.7, 13))")
+    for text in cases:
+        w = _std_waveform(text)
+        node = _root_reset(w)
+        assert node.analytic and node._trig is not None, text
+        assert node._trig[2] is None and len(node._trig[3]) >= 1, text
+        for block in (7, 64):
+            new = _fast_render(w, 300, 100, block)
+            old = _fast_render(w, 300, 100, block, analytic=False)
+            np.testing.assert_array_equal(
+                new, old, err_msg=f"{text} block={block}")
+
+
 def test_composite_trigger_state_matches_generic():
-    """Carried sign/age for composite triggers (the k-prefix sign rule)
-    must equal the generic tier's sampled bookkeeping block by block."""
+    """Carried sign/age for composite triggers (the k-prefix sign rule
+    and the PWM closed-form last-lane sign) must equal the generic
+    tier's sampled bookkeeping block by block."""
     import tuun_tpu.engine.graph as G
     from tuun_tpu.engine import CompiledVoice
-    w = _std_waveform("reset(pulse(0.7, 11), $25 * 0.5)")
-    cfg = EngineConfig(100, "fast", jit=False)
-    v_new = CompiledVoice(w, cfg)
-    orig = G.CReset.__dict__["_analytic_ok"]
-    orig_w = G.CReset.__dict__["_wrap_edge_info"]
-    G.CReset._analytic_ok = staticmethod(lambda t, c: False)
-    G.CReset._wrap_edge_info = classmethod(lambda cls, t, c: None)
-    try:
-        v_old = CompiledVoice(w, cfg)
-    finally:
-        G.CReset._analytic_ok = orig
-        G.CReset._wrap_edge_info = orig_w
-    assert isinstance(v_new.root, G.CReset) and v_new.root._trig is not None
-    assert isinstance(v_old.root, G.CReset) and not v_old.root.analytic
-    P = v_new.params()
-    st_n = v_new.init(P)
-    st_o = v_old.init(P)
-    # The outer reset's (sign, age) live at the state root; the nested
-    # trigger sub-states legitimately diverge (the analytic tier leaves
-    # everything but the base NCO accumulator untouched), so compare
-    # the outer scalars and the accumulator only.
-    root_new = v_new.root
-    for blk in (64, 64, 64, 13, 64):
-        _, _, st_n, _ = v_new.render_block(P, st_n, 64, 0, blk, fast=False)
-        _, _, st_o, _ = v_old.render_block(P, st_o, 64, 0, blk, fast=False)
-        rs_n, rs_o = st_n[1], st_o[1]  # voice state = (pos, node state)
-        np.testing.assert_array_equal(np.asarray(rs_n[0]),
-                                      np.asarray(rs_o[0]))  # sign
-        np.testing.assert_array_equal(np.asarray(rs_n[1]),
-                                      np.asarray(rs_o[1]))  # age
-        np.testing.assert_array_equal(
-            np.asarray(root_new._acc_get(rs_n[2])),
-            np.asarray(root_new._acc_get(rs_o[2])))  # base NCO acc
+    for text in ("reset(pulse(0.7, 11), $25 * 0.5)",
+                 "reset(pulse(0.9 + 0.05 * $(1.6), 10), $25 * 0.5)"):
+        w = _std_waveform(text)
+        cfg = EngineConfig(100, "fast", jit=False)
+        v_new = CompiledVoice(w, cfg)
+        orig = G.CReset.__dict__["_analytic_ok"]
+        orig_w = G.CReset.__dict__["_wrap_edge_info"]
+        orig_p = G.CReset.__dict__["_wrap_edge_info_pwm"]
+        G.CReset._analytic_ok = staticmethod(lambda t, c: False)
+        G.CReset._wrap_edge_info = classmethod(lambda cls, t, c: None)
+        G.CReset._wrap_edge_info_pwm = classmethod(lambda cls, t, c: None)
+        try:
+            v_old = CompiledVoice(w, cfg)
+        finally:
+            G.CReset._analytic_ok = orig
+            G.CReset._wrap_edge_info = orig_w
+            G.CReset._wrap_edge_info_pwm = orig_p
+        assert isinstance(v_new.root, G.CReset) \
+            and v_new.root._trig is not None, text
+        assert isinstance(v_old.root, G.CReset) \
+            and not v_old.root.analytic, text
+        P = v_new.params()
+        st_n = v_new.init(P)
+        st_o = v_old.init(P)
+        # The outer reset's (sign, age) live at the state root; the
+        # nested trigger sub-states legitimately diverge (the analytic
+        # tier leaves everything but the base NCO accumulator — and,
+        # for PWM, the LFO accumulators — untouched), so compare the
+        # outer scalars and the accumulators only.
+        root_new = v_new.root
+        for blk in (64, 64, 64, 13, 64):
+            _, _, st_n, _ = v_new.render_block(P, st_n, 64, 0, blk,
+                                               fast=False)
+            _, _, st_o, _ = v_old.render_block(P, st_o, 64, 0, blk,
+                                               fast=False)
+            rs_n, rs_o = st_n[1], st_o[1]  # voice state = (pos, node st)
+            np.testing.assert_array_equal(
+                np.asarray(rs_n[0]), np.asarray(rs_o[0]),
+                err_msg=f"sign {text}")
+            np.testing.assert_array_equal(
+                np.asarray(rs_n[1]), np.asarray(rs_o[1]),
+                err_msg=f"age {text}")
+            np.testing.assert_array_equal(
+                np.asarray(root_new._acc_get(rs_n[2])),
+                np.asarray(root_new._acc_get(rs_o[2])),
+                err_msg=f"base acc {text}")
+            for sn, pth in root_new._trig[3]:
+                np.testing.assert_array_equal(
+                    np.asarray(G._path_get(rs_n[2], pth)),
+                    np.asarray(G._path_get(rs_o[2], pth)),
+                    err_msg=f"lfo acc {text}")
 
 
 def test_reconstruct_state_matches_continuous_render():
@@ -589,7 +637,9 @@ def test_reconstruct_state_matches_continuous_render():
                  "sawtooth(11) | ADSR(0.1, 0.2, 0.5, 1.0, 0.3)",
                  "alt($3, time, 0 - time)",
                  # composite analytic trigger (hard sync)
-                 "reset(pulse(0.7, 11), $25 * 0.5) | fin(time - 3)"):
+                 "reset(pulse(0.7, 11), $25 * 0.5) | fin(time - 3)",
+                 # PWM analytic trigger (modulated width)
+                 "reset(pulse(0.9 + 0.05 * $(1.6), 10), $25 * 0.5)"):
         w = _std_waveform(text)
         voice = CompiledVoice(w, EngineConfig(100, "fast", jit=True))
         assert voice.relocatable, text

@@ -215,7 +215,12 @@ def _running_max_f32(x, use_pallas: bool = False):
     return jax.lax.associative_scan(jnp.maximum, x)
 
 
-BIGF = jnp.float32(3e18)
+# Lane-index sentinel for masked min/max reductions. Must dominate every
+# real lane index and BIG_LIT (2^30), and stay exactly i32-convertible.
+# Measured on TPU: huge-magnitude constants (3e18) in a select->reduce
+# chain de-fuse the whole program (~50x slower: 2.4ms vs 0.05ms at 2^19);
+# 2e9 keeps the fusion intact.
+BIGF = jnp.float32(2e9)
 
 
 def _first_lane(ctx, cond, e):
@@ -229,6 +234,21 @@ def _last_lane(ctx, cond, default):
     """Largest lane index where cond holds, else `default` (int32 scalar)."""
     last = jnp.max(jnp.where(cond, ctx.fidx, -BIGF))
     return jnp.maximum(last.astype(i32), default)
+
+
+def _path_get(tree, path):
+    """Fetch a leaf from a nested state tuple by index path."""
+    for i in path:
+        tree = tree[i]
+    return tree
+
+
+def _path_set(tree, path, v):
+    """Return `tree` with the leaf at index `path` replaced by `v`."""
+    if not path:
+        return v
+    i = path[0]
+    return tree[:i] + (_path_set(tree[i], path[1:], v),) + tree[i + 1:]
 
 
 def _value_at(ctx, lane_values, lane, default):
@@ -520,6 +540,18 @@ def _nco_angle(ph):
     unsigned<->float casts."""
     top = jax.lax.bitcast_convert_type(ph >> jnp.uint32(8), jnp.int32)
     return top.astype(f32) * f32(CSine.NCO_TO_RAD)
+
+
+def _nco_inc_host(freq_v, sample_rate: int) -> int:
+    """Host replication of CSine._nco_inc in exact f32 arithmetic: the
+    u32 phase increment the device NCO will use for `freq_v` rad/s."""
+    fc = np.float32(freq_v) / np.float32(sample_rate * TAU)
+    frac = np.float32(fc - np.floor(fc))
+    x = frac * np.float32(2.0 ** 32)
+    if x >= np.float32(2 ** 31):
+        return int(np.uint32(np.int32(np.float32(
+            x - np.float32(2 ** 31)))) + np.uint32(2 ** 31))
+    return int(np.int32(x))
 
 
 class CSine(Node):
@@ -889,12 +921,18 @@ class CReset(Node):
         self.inner_reloc = inner.reloc
         self.compiler = compiler
         # Composite-trigger info: (base CSine, acc path into the trigger
-        # state tree, positive-prefix length k in samples) — see
-        # _wrap_edge_info.  None for the plain-sine analytic case.
+        # state tree, positive-prefix length k in samples or None, LFO
+        # leaves ((CSine, acc path), ...), base CReset, trigger root) —
+        # see _wrap_edge_info / _wrap_edge_info_pwm.  None for the
+        # plain-sine analytic case.  k is None for modulated-width (PWM)
+        # triggers, whose last-lane sign is evaluated in closed form at
+        # runtime instead of compared against a static prefix length.
         self._trig = None
         self.analytic = self._analytic_ok(trigger, compiler)
         if not self.analytic:
             self._trig = self._wrap_edge_info(trigger, compiler)
+            if self._trig is None:
+                self._trig = self._wrap_edge_info_pwm(trigger, compiler)
             self.analytic = self._trig is not None
         if self.analytic and inner.reloc is not None:
             inner_reloc = inner.reloc
@@ -922,17 +960,10 @@ class CReset(Node):
         return (0,) if self._trig is None else self._trig[1]
 
     def _acc_get(self, strg):
-        for i in self._acc_path():
-            strg = strg[i]
-        return strg
+        return _path_get(strg, self._acc_path())
 
     def _acc_set(self, strg, v):
-        def go(tree, path):
-            if not path:
-                return v
-            i = path[0]
-            return tree[:i] + (go(tree[i], path[1:]),) + tree[i + 1:]
-        return go(strg, self._acc_path())
+        return _path_set(strg, self._acc_path(), v)
 
     @staticmethod
     def _analytic_ok(trigger: Node, compiler: "Compiler") -> bool:
@@ -1011,20 +1042,12 @@ class CReset(Node):
             return None
         base_reset, path = found[0]
         base_sine = base_reset.trigger
-        # inc replicated in exact f32 NCO arithmetic (mirrors _nco_inc).
         try:
             freq_v = np.float32(
                 compiler.const_values[base_sine.freq.index])
         except Exception:
             return None
-        fc = freq_v / np.float32(trigger.cfg.sample_rate * TAU)
-        frac = np.float32(fc - np.floor(fc))
-        x = frac * np.float32(2.0 ** 32)
-        if x >= np.float32(2 ** 31):
-            inc = int(np.uint32(np.int32(np.float32(
-                x - np.float32(2 ** 31)))) + np.uint32(2 ** 31))
-        else:
-            inc = int(np.int32(x))
+        inc = _nco_inc_host(freq_v, trigger.cfg.sample_rate)
         if inc <= 0:
             return None
         A = (2 ** 32 - 1) // inc  # max age within a period
@@ -1057,7 +1080,253 @@ class CReset(Node):
         if k > A - 1 or pos[k:].any() or not neg[k:].all() \
                 or neg[:k].any():
             return None
-        return (base_sine, path + (2, 0), k)
+        return (base_sine, path + (2, 0), k, (), None, None)
+
+    # Margin (in trigger-value units, values are O(1)) by which the
+    # interval-arithmetic PWM verification must clear zero.  Dwarfs f32
+    # rounding (~1e-7 per op) while admitting real pulse widths: a width
+    # bound of 0.98 against the sawtooth's exact 1.0 at age 0 leaves 0.02.
+    PWM_EPS = 1e-3
+
+    @classmethod
+    def _wrap_edge_info_pwm(cls, trigger: Node, compiler: "Compiler"):
+        """Modulated-width composite triggers (PWM): `pulse(w, f)` with a
+        non-constant width — e.g. std.tuun's harmonica `breathy` voice,
+        `pulse(0.93 + 0.05*$(1.6), freq)` — and any affine combination of
+        one analytic base Reset with const-frequency NCO sine LFOs.
+
+        The neg->pos edges of such a trigger still coincide exactly with
+        the base NCO's phase wraps — the width only moves the pos->neg
+        crossing *within* each period — provided the per-period sign
+        pattern stays "non-negative prefix, strictly negative tail" for
+        every value the LFOs can take.  That is verified soundly at
+        compile time with interval arithmetic: decompose the trigger as
+        X(a, t) = d(a) + H(t) with d evaluated per age over one base
+        period and H bounded by [lo, hi] with per-sample slope <= s, then
+        require (eps = PWM_EPS):
+
+          1. d[0] + lo >= eps                  (positive at every wrap)
+          2. d[A-1] + hi <= -eps, d[A] + hi <= -eps   (negative pre-wrap)
+          3. d strictly decreasing through the ambiguous band, dominating
+             the LFO movement: d[a+1] - d[a] <= -(s + eps) wherever the
+             sign is not already decided by 1-2's prefix/suffix masks.
+
+        Under 1-3 each period has exactly one pos->neg crossing and the
+        only neg->pos transition is the wrap itself, for every LFO phase
+        trajectory — so the sine-trigger age formula applies unchanged.
+        Unlike the static path the positive-prefix length k varies per
+        period, so the carried sign is computed at runtime by evaluating
+        the trigger at the block's last lane in closed form (scalar
+        arithmetic; see _trig_value_last).  The reference pays an O(n)
+        scalar sign scan for the same edges (generator.rs:281-318).
+
+        Returns (base_sine, base_acc_path, None, lfos, base_reset,
+        trigger_root) or None; lfos = ((CSine, acc_path), ...).
+        """
+        if trigger.has_capture or trigger.reloc is None:
+            return None
+        # Peel marker wrappers; a root alt(X, p, n) with structural
+        # consts p >= 0 > n is a pure sign-shaper: its output sign equals
+        # the sign of X, so the conditions are verified on X.
+        core, core_path = trigger, ()
+        while isinstance(core, CWrap):
+            if core.capture_stem is not None:
+                return None
+            core = core.inner
+        if isinstance(core, CAlt):
+            pv = cls._struct_const(core.pos, compiler)
+            nv = cls._struct_const(core.neg, compiler)
+            if pv is None or nv is None or not (pv >= 0.0 > nv):
+                return None
+            core, core_path = core.trigger, (0,)
+        bases: list = []
+        lfos: list = []
+
+        def walk(node, path):
+            while isinstance(node, CWrap):
+                if node.capture_stem is not None:
+                    return False
+                node = node.inner
+            if isinstance(node, CConst):
+                return True
+            if isinstance(node, CBinary):
+                if node.op not in (ir.Operator.ADD, ir.Operator.SUBTRACT,
+                                   ir.Operator.MULTIPLY):
+                    return False
+                return walk(node.a, path + (0,)) \
+                    and walk(node.b, path + (1,))
+            if isinstance(node, CReset) and node.analytic \
+                    and node._trig is None \
+                    and node.inner_reloc is not None \
+                    and isinstance(node.trigger, CSine):
+                bases.append((node, path))
+                return True
+            if isinstance(node, CSine) and node.nco \
+                    and isinstance(node.phase, CConst):
+                lfos.append((node, path))
+                return True
+            return False
+
+        if not walk(core, core_path) or len(bases) != 1 or not lfos:
+            return None
+        if cls._subtree_has_fin(trigger):
+            # A Fin inside the trigger makes its value depend on lits /
+            # runtime lengths the closed-form evaluation can't see.
+            return None
+        base_reset, base_path = bases[0]
+        base_sine = base_reset.trigger
+        try:
+            freq_v = np.float32(
+                compiler.const_values[base_sine.freq.index])
+        except Exception:
+            return None
+        inc = _nco_inc_host(freq_v, trigger.cfg.sample_rate)
+        if inc <= 0:
+            return None
+        A = (2 ** 32 - 1) // inc
+        if A < 2 or A > 2 ** 21:
+            return None
+        if not cls._pwm_verify(core, base_reset, lfos, compiler, A):
+            return None
+        return (base_sine, base_path + (2, 0), None,
+                tuple((sn, pth + (0,)) for sn, pth in lfos),
+                base_reset, trigger)
+
+    @staticmethod
+    def _struct_const(node: Node, compiler: "Compiler"):
+        """float value of a structural Const subtree (markers peeled),
+        else None."""
+        while isinstance(node, CWrap):
+            node = node.inner
+        if isinstance(node, CConst):
+            try:
+                return float(compiler.const_values[node.index])
+            except Exception:
+                return None
+        return None
+
+    @staticmethod
+    def _subtree_has_fin(node: Node) -> bool:
+        todo = [node]
+        while todo:
+            n = todo.pop()
+            if isinstance(n, CFin):
+                return True
+            for attr in ("a", "b", "inner", "trigger", "pos", "neg",
+                         "freq", "phase", "length"):
+                c = getattr(n, attr, None)
+                if isinstance(c, Node):
+                    todo.append(c)
+            for lst in (getattr(n, "ffs", ()), getattr(n, "fbs", ())):
+                todo.extend(c for c in lst if isinstance(c, Node))
+        return False
+
+    @classmethod
+    def _pwm_verify(cls, core: Node, base_reset: "CReset", lfos,
+                    compiler: "Compiler", A: int) -> bool:
+        """Sound per-period sign-pattern check for _wrap_edge_info_pwm
+        (conditions 1-3 in its docstring)."""
+        sr = base_reset.cfg.sample_rate
+        P0 = Params(jnp.asarray(np.asarray(compiler.const_values,
+                                           np.float32)),
+                    (), jnp.zeros((), jnp.uint32))
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except Exception:  # pragma: no cover - axon-only builds
+            cpu = None
+        try:
+            with jax.default_device(cpu):
+                yb, _ = base_reset.reloc(P0, jnp.arange(A + 1, dtype=i32))
+                gbase = np.asarray(jax.device_get(yb), np.float64)
+                lfo_info = {}
+                for sn, _ in lfos:
+                    fv = float(np.asarray(jax.device_get(
+                        sn.freq.const_expr(P0))))
+                    lfo_info[id(sn)] = abs(fv) / sr  # rad (= max dy) /sample
+        except Exception:
+            return False
+        if not np.isfinite(gbase).all():
+            return False
+
+        class Reject(Exception):
+            pass
+
+        def const_of(x):
+            return None if isinstance(x, np.ndarray) else float(x)
+
+        def dec(node):
+            """-> (g, lo, hi, slope): X = g(age) + H(t), H in [lo, hi],
+            |H(t+1) - H(t)| <= slope."""
+            while isinstance(node, CWrap):
+                node = node.inner
+            if node is base_reset:
+                return gbase, 0.0, 0.0, 0.0
+            if id(node) in lfo_info:
+                return 0.0, -1.0, 1.0, lfo_info[id(node)]
+            if isinstance(node, CConst):
+                try:
+                    return float(compiler.const_values[node.index]), \
+                        0.0, 0.0, 0.0
+                except Exception:
+                    raise Reject
+            if isinstance(node, CBinary):
+                ga, la, ha, sa = dec(node.a)
+                gb, lb, hb, sb = dec(node.b)
+                if node.op == ir.Operator.ADD:
+                    return ga + gb, la + lb, ha + hb, sa + sb
+                if node.op == ir.Operator.SUBTRACT:
+                    return ga - gb, la - hb, ha - lb, sa + sb
+                # MULTIPLY: admit const scaling, age*age, and lfo*lfo.
+                for (gc, lc, hc, sc), (go, lo, ho, so) in \
+                        (((ga, la, ha, sa), (gb, lb, hb, sb)),
+                         ((gb, lb, hb, sb), (ga, la, ha, sa))):
+                    c = const_of(gc)
+                    if c is not None and lc == hc == 0.0 and sc == 0.0:
+                        if c >= 0.0:
+                            return go * c, lo * c, ho * c, so * c
+                        return go * c, ho * c, lo * c, so * (-c)
+                if la == ha == 0.0 == lb == hb and sa == sb == 0.0:
+                    return ga * gb, 0.0, 0.0, 0.0  # both pure-age
+                if const_of(ga) == 0.0 and const_of(gb) == 0.0:
+                    prods = [la * lb, la * hb, ha * lb, ha * hb]
+                    mag_a = max(abs(la), abs(ha))
+                    mag_b = max(abs(lb), abs(hb))
+                    return 0.0, min(prods), max(prods), \
+                        mag_a * sb + mag_b * sa
+                raise Reject
+            raise Reject
+
+        try:
+            d, lo, hi, slope = dec(core)
+        except Reject:
+            return False
+        if not isinstance(d, np.ndarray):
+            return False  # no age dependence: no wraps to ride
+        eps = cls.PWM_EPS
+        if not (d[0] + lo >= eps):
+            return False
+        if not (d[A - 1] + hi <= -eps and d[A] + hi <= -eps):
+            return False
+        pos_m = d + lo >= eps   # sign decided positive for every H
+        neg_m = d + hi <= -eps  # sign decided negative for every H
+        p = int(np.argmin(pos_m)) - 1 if not pos_m.all() else A
+        # q = start of the trailing all-negative-decided suffix.
+        q = 0 if neg_m.all() else A + 1 - int(np.argmin(neg_m[::-1]))
+        band = np.diff(d)[p:q]
+        return bool((band <= -(slope + eps)).all())
+
+    def _trig_value_last(self, P, strg, age_last, n_adv):
+        """Trigger value at the last rendered lane, in closed form: the
+        base Reset contributes inner_reloc(age); each LFO sine its NCO
+        phase read from the (analytically advanced) trigger state.  All
+        scalar arithmetic, bit-identical to what the sampled trigger
+        render computes at that lane."""
+        _, _, _, lfos, base, root = self._trig
+        off = jnp.maximum(n_adv - 1, 0).astype(jnp.uint32)
+        phases = {id(sn): _path_get(strg, pth) + off * sn._nco_inc(P)
+                  for sn, pth in lfos}
+        age = jnp.maximum(age_last, jnp.int32(0))
+        return _scalar_trig_value(root, base, P, age, phases)
 
     @staticmethod
     def _age_from_phase(inc, ph, liu):
@@ -1100,14 +1369,27 @@ class CReset(Node):
         if self._trig is None:
             # Sine trigger: non-negative exactly while phase < half turn.
             pos_last = ph_last < jnp.uint32(2 ** 31)
-        else:
+        elif self._trig[2] is not None:
             # Composite trigger: non-negative exactly on the verified
             # k-sample positive prefix of each period.
             pos_last = age_last < jnp.int32(self._trig[2])
+        else:
+            # PWM trigger: the prefix length varies per period; evaluate
+            # the trigger at the last lane in closed form instead.
+            pos_last = self._trig_value_last(
+                P, strg, age_last, n_adv) >= 0.0
         sign = jnp.where(nonempty,
                          jnp.where(pos_last, f32(1.0), f32(-1.0)), sign)
         new_age = jnp.where(nonempty, age_last + 1, age)
         strg = self._acc_set(strg, new_acc)
+        if self._trig is not None and self._trig[2] is None:
+            # Advance the LFO NCO accumulators exactly as their sampled
+            # renders would (acc += n*inc); the rest of the trigger state
+            # stays frozen as in the other analytic tiers.
+            nu = n_adv.astype(jnp.uint32)
+            for sn, pth in self._trig[3]:
+                strg = _path_set(strg, pth,
+                                 _path_get(strg, pth) + nu * sn._nco_inc(P))
 
         if self.inner_reloc is not None:
             yi, _ = self.inner_reloc(P, ageL, ctx.lits)
@@ -1298,6 +1580,33 @@ def _apply_op_scalar(op, a, b):
     return _apply_op(op, f32(a), f32(b))
 
 
+def _scalar_trig_value(node, base, P, age, phases):
+    """Scalar closed-form evaluation of a PWM composite trigger at one
+    lane: `age` is the base Reset's age there, `phases` maps each LFO
+    CSine (by id) to its u32 NCO phase at the lane.  Mirrors the ops the
+    sampled trigger render performs per lane (see _wrap_edge_info_pwm)."""
+    while isinstance(node, CWrap):
+        node = node.inner
+    if node is base:
+        yi, _ = base.inner_reloc(P, age)
+        return yi
+    if isinstance(node, CSine) and id(node) in phases:
+        return jnp.sin(_nco_angle(phases[id(node)])
+                       + node.phase.const_expr(P))
+    if isinstance(node, CConst):
+        return node.const_expr(P)
+    if isinstance(node, CBinary):
+        return _apply_op(node.op,
+                         _scalar_trig_value(node.a, base, P, age, phases),
+                         _scalar_trig_value(node.b, base, P, age, phases))
+    if isinstance(node, CAlt):
+        yt = _scalar_trig_value(node.trigger, base, P, age, phases)
+        yp = _scalar_trig_value(node.pos, base, P, age, phases)
+        yn = _scalar_trig_value(node.neg, base, P, age, phases)
+        return jnp.where(yt >= 0.0, yp, yn)
+    raise AssertionError(f"unexpected PWM trigger node {type(node)}")
+
+
 # Nodes get a default static_len of None; CFin/CFixed override.
 Node.static_len = None
 Node.reloc = None
@@ -1420,16 +1729,30 @@ def reconstruct_state(node: "Node", P, lits, r: int, adv: int = 0):
             if node._trig is None:
                 sign = jnp.where(ph_last < jnp.uint32(2 ** 31),
                                  f32(1.0), f32(-1.0))
-            else:
+            elif node._trig[2] is not None:
                 sign = jnp.where(age - 1 < jnp.int32(node._trig[2]),
                                  f32(1.0), f32(-1.0))
+            else:
+                # PWM trigger: closed-form value at lane r-1 (each LFO's
+                # phase there is (r-1)*inc).
+                off = jnp.uint32((r - 1) & 0xFFFFFFFF)
+                phases = {id(sn): off * sn._nco_inc(P)
+                          for sn, _ in node._trig[3]}
+                v = _scalar_trig_value(node._trig[5], node._trig[4], P,
+                                       jnp.maximum(age - 1, 0), phases)
+                sign = jnp.where(v >= 0.0, f32(1.0), f32(-1.0))
         else:
             sign = f32(-1.0)
             age = jnp.int32(0)
         # The analytic render leaves the trigger's state untouched apart
-        # from the base NCO accumulator (stale sub-states by design —
+        # from the base NCO accumulator — and, for PWM triggers, the LFO
+        # accumulators (stale sub-states otherwise by design —
         # reconstruction must match what the render actually carries).
         strg = node._acc_set(node.trigger.init(P), acc)
+        if node._trig is not None and node._trig[2] is None:
+            ru = jnp.uint32(r & 0xFFFFFFFF)
+            for sn, pth in node._trig[3]:
+                strg = _path_set(strg, pth, ru * sn._nco_inc(P))
         return (sign, age, strg, node.inner.init(P))
     raise FastStateUnsupported(type(node).__name__)
 
@@ -1854,6 +2177,42 @@ class CompiledVoice:
                 # leaf (67 entry copies measured on harmonica). TPU only —
                 # CPU warns and ignores donation.
                 fn = jax.jit(fn, donate_argnums=self._donate_state)
+            self._render_jit[key] = fn
+        return fn
+
+    def note_fn(self, sizes: Tuple[int, ...], n: Optional[int] = None,
+                fast: Optional[bool] = None,
+                lits: Optional[Tuple[int, ...]] = None, P=None) -> Callable:
+        """One executable rendering a whole finite piece from a fresh
+        state: the init and every block render are traced into a single
+        program, so a full pass costs ONE dispatch and zero host->device
+        state transfers.  Offline rendering through a high-latency device
+        link is dispatch-bound (each enqueue costs ~0.1-1 ms; a fresh
+        state tree is dozens of transfers), so batch renderers and
+        benchmark passes should prefer this over block-by-block calls.
+        Returns fn(P) -> (last_y, last_v, state); block outputs beyond
+        the last are rendered (all effects on state are kept) but not
+        returned — callers wanting audio use render_fn block calls.
+        """
+        sizes = tuple(int(m) for m in sizes)
+        if n is None:
+            # Odd buffer widths compile to badly tiled programs; round
+            # the width up to a power of two and render partial blocks.
+            n = 1 << (max(sizes) - 1).bit_length()
+        fast, lits = self._resolve_fast(fast, P, lits)
+        key = ("note", sizes, n, fast, lits)
+        fn = self._render_jit.get(key)
+        if fn is None:
+
+            def impl(P):
+                st = self._init_impl(P)
+                s = jnp.int32(0)
+                for m in sizes:
+                    y, v, st, _ = self._render_impl(n, fast, lits, P, st,
+                                                    s, jnp.int32(m))
+                return y, v, st
+
+            fn = jax.jit(impl) if self.cfg.jit else impl
             self._render_jit[key] = fn
         return fn
 
