@@ -683,3 +683,35 @@ def test_state_at_uses_reconstruction_for_fast_voices():
                     jax.tree_util.tree_leaves(st_replay)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    err_msg="state leaf mismatch")
+
+
+def test_note_fn_matches_block_by_block():
+    """note_fn (init + whole piece in ONE executable, the dispatch-bound
+    offline path — docs/design.md §6) must reproduce the block-by-block
+    render exactly: same last-block samples, same final state."""
+    import jax.numpy as jnp
+    from tuun_tpu.engine import CompiledVoice
+    for text, sizes in (("harmonica(0.5, 40)", (37, 37, 19)),
+                        ("sawtooth(10) * 0.5 + $7 | fin(time - 1)",
+                         (64, 64)),
+                        ("{[$40 + $60, $50 + $55]} | fin(time - 1)",
+                         (64, 40))):
+        w = _std_waveform(text)
+        voice = CompiledVoice(w, EngineConfig(100, "fast", jit=True))
+        P = voice.params()
+        n = 64
+        fn = voice.render_fn(n, P=P)
+        st = voice.init(P)
+        for m in sizes:
+            y, v, st, _ = fn(P, st, jnp.int32(0), jnp.int32(m))
+        nf = voice.note_fn(sizes, n=n, P=P)
+        y2, v2, st2 = nf(P)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y2),
+                                      err_msg=f"last block {text}")
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v2),
+                                      err_msg=f"valid end {text}")
+        for a, b in zip(jax.tree_util.tree_leaves(st),
+                        jax.tree_util.tree_leaves(st2)):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"state leaf {text}")
