@@ -542,6 +542,15 @@ def _nco_angle(ph):
     return top.astype(f32) * f32(CSine.NCO_TO_RAD)
 
 
+def _host_params(compiler: "Compiler", cpu) -> "Params":
+    """A Params pytree committed to the CPU backend, for compile-time
+    numeric verifications that must not touch the main device."""
+    consts = jax.device_put(
+        np.asarray(compiler.const_values, np.float32), cpu)
+    seed = jax.device_put(np.zeros((), np.uint32), cpu)
+    return Params(consts, (), seed)
+
+
 def _nco_inc_host(freq_v, sample_rate: int) -> int:
     """Host replication of CSine._nco_inc in exact f32 arithmetic: the
     u32 phase increment the device NCO will use for `freq_v` rad/s."""
@@ -1055,16 +1064,20 @@ class CReset(Node):
             return None
         # One-period sign pattern via the trigger's own reloc closure
         # (ages == local indices before the first wrap), on the host.
-        P0 = Params(jnp.asarray(np.asarray(compiler.const_values,
-                                           np.float32)),
-                    (), jnp.zeros((), jnp.uint32))
+        # P0 and the index vector MUST be created on the CPU backend:
+        # committed accelerator arrays override default_device, and the
+        # eager reloc evaluation would then run op-by-op on the main
+        # device — dozens of tiny loaded executables that measurably
+        # degrade every subsequent dispatch in the process.
         try:
             cpu = jax.local_devices(backend="cpu")[0]
         except Exception:  # pragma: no cover - axon-only builds
             cpu = None
         try:
             with jax.default_device(cpu):
-                y, _ = trigger.reloc(P0, jnp.arange(A + 1, dtype=i32))
+                P0 = _host_params(compiler, cpu)
+                li = jax.device_put(np.arange(A + 1, dtype=np.int32), cpu)
+                y, _ = trigger.reloc(P0, li)
                 g = np.asarray(jax.device_get(y))
         except Exception:
             return None
@@ -1227,16 +1240,16 @@ class CReset(Node):
         """Sound per-period sign-pattern check for _wrap_edge_info_pwm
         (conditions 1-3 in its docstring)."""
         sr = base_reset.cfg.sample_rate
-        P0 = Params(jnp.asarray(np.asarray(compiler.const_values,
-                                           np.float32)),
-                    (), jnp.zeros((), jnp.uint32))
+        # CPU-resident inputs: see the matching note in _wrap_edge_info.
         try:
             cpu = jax.local_devices(backend="cpu")[0]
         except Exception:  # pragma: no cover - axon-only builds
             cpu = None
         try:
             with jax.default_device(cpu):
-                yb, _ = base_reset.reloc(P0, jnp.arange(A + 1, dtype=i32))
+                P0 = _host_params(compiler, cpu)
+                li = jax.device_put(np.arange(A + 1, dtype=np.int32), cpu)
+                yb, _ = base_reset.reloc(P0, li)
                 gbase = np.asarray(jax.device_get(yb), np.float64)
                 lfo_info = {}
                 for sn, _ in lfos:
