@@ -2099,6 +2099,30 @@ class CompiledVoice:
         the price of the fast path, paid only on the first Modify)."""
         if self.relocatable and self.cfg.precision == "fast":
             try:
+                # Closed-form reconstruction is dozens of tiny scalar ops
+                # (`_reloc_len` even evaluates a 1-sample reloc render per
+                # node to read its length).  Run them EAGERLY ON THE CPU
+                # backend: eagerly on the main device they would each load
+                # a one-op executable, and merely loading those degrades
+                # every later dispatch in the process (measured ~0.03 ->
+                # 0.5-0.8 ms/dispatch; see docs/design.md on the
+                # compile-time verification incident).  One host fetch of
+                # the params + one device_put of the finished state tree.
+                try:
+                    cpu = jax.local_devices(backend="cpu")[0]
+                except Exception:  # pragma: no cover - cpu-less builds
+                    cpu = None
+                if cpu is not None:
+                    lits = self.lits_for(P)  # cached from first render
+                    Pc = jax.device_put(jax.device_get(P), cpu)
+                    with jax.default_device(cpu):
+                        st = reconstruct_state(self.root, Pc, lits, pos)
+                    try:
+                        dev, = P.consts.devices()
+                    except (AttributeError, ValueError):
+                        return st  # sharded/abstract params: let the next
+                        # jitted dispatch place the uncommitted leaves
+                    return jax.device_put(st, dev)
                 return reconstruct_state(self.root, P,
                                          self.lits_for(P), pos)
             except FastStateUnsupported:
