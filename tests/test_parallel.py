@@ -183,6 +183,43 @@ def test_tracker_mesh_modify_carries_state():
 
 
 @needs_devices
+def test_tracker_mesh_modify_on_reloc_fast_voice():
+    """Modify on a RELOCATABLE fast-path voice inside a meshed group:
+    state_at reconstructs the node tree in closed form on the host, and
+    its leaves must compose with the mesh-committed position scalar the
+    group materialization produced (regression: a host reconstruction
+    committed to one device conflicts with the 8-device-committed
+    position at the next dispatch)."""
+    from tuun_tpu.tracker import Tracker, _CompileCache
+
+    def marked_note(freq, mark):
+        return ir.BinaryPointOp(
+            ir.Operator.MULTIPLY,
+            ir.Sine(ir.Const(freq), ir.Const(0.0)),
+            ir.Marked(mark, ir.Const(1.0)))
+
+    def song(mesh):
+        t = Tracker(8, 16, precision="fast", jit=True, mesh=mesh,
+                    compile_cache=_CompileCache())
+        t.cfg.reloc_fast = True
+        for i in range(3):
+            t.play(f"v{i}", marked_note(0.4 + 0.3 * i, "amp"))
+        for _ in range(3):
+            t.render_block()
+        assert any(v.fast for v in t.active), \
+            "test premise: voices must be on the relocatable fast path"
+        t.modify("v1", "amp", ir.Const(0.5))
+        out = [np.asarray(t.render_block()[0], np.float32)
+               for _ in range(3)]
+        t.stop_all()
+        return np.concatenate(out)
+
+    ref = song(None)
+    got = song(default_mesh(8))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+@needs_devices
 def test_tracker_mesh_levels():
     """Per-voice rms/peak levels on meshed voice groups (previously
     disabled in mesh mode)."""

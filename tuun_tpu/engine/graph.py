@@ -2117,12 +2117,12 @@ class CompiledVoice:
                     Pc = jax.device_put(jax.device_get(P), cpu)
                     with jax.default_device(cpu):
                         st = reconstruct_state(self.root, Pc, lits, pos)
-                    try:
-                        dev, = P.consts.devices()
-                    except (AttributeError, ValueError):
-                        return st  # sharded/abstract params: let the next
-                        # jitted dispatch place the uncommitted leaves
-                    return jax.device_put(st, dev)
+                    # Return HOST scalars (uncommitted): the next jitted
+                    # dispatch places them to match whatever placement
+                    # the rest of the voice state has — single device or
+                    # mesh-replicated (committed leaves would conflict
+                    # with a mesh-materialized position scalar).
+                    return jax.device_get(st)
                 return reconstruct_state(self.root, P,
                                          self.lits_for(P), pos)
             except FastStateUnsupported:
