@@ -124,6 +124,8 @@ class Repl:
             "save [FILE]          persist annotations + write source\n"
             "dump N               print program N's optimized waveform IR\n"
             "render SECS [FILE]   render the next SECS seconds (to WAV)\n"
+            "view [SECS] [FPS]    render with a live scope/spectrum/HUD "
+            "frame (terminal renderer)\n"
             "status               voices / pending / marks / mode\n"
             "quit")
 
@@ -339,6 +341,46 @@ class Repl:
             peak = float(np.abs(mix).max()) if len(mix) else 0.0
             self.log(f"rendered {len(mix)} samples (peak {peak:.3f}, "
                      f"load {status.tracker_load:.4f})")
+
+    def cmd_view(self, seconds: str = "1", fps: str = "10"):
+        """Live terminal renderer (the renderer.rs window analogue,
+        tuun_tpu.tui): renders `seconds` of audio like `render` while
+        repainting an oscilloscope + spectrum + level/HUD frame every
+        1/fps of stream time.  On a tty the frame repaints in place;
+        otherwise frames print sequentially (tests, pipes)."""
+        from . import tui
+        sr = self.tracker.sample_rate
+        block = self.tracker.block_size
+        n_blocks = max(1, int(float(seconds) * sr / block))
+        frame_every = max(1, int(sr / max(float(fps), 0.01) / block))
+        is_tty = getattr(self.out, "isatty", lambda: False)()
+        self.player.flush_bakes()
+        chunks: List[np.ndarray] = []
+        status = None
+        painted_lines = 0
+        for i in range(n_blocks):
+            y, status = self.tracker.render_block()
+            chunks.append(y)
+            if (i + 1) % frame_every and i != n_blocks - 1:
+                continue
+            window = np.concatenate(chunks[-frame_every:])
+            levels = [(v.id, v.level_rms, v.level_peak)
+                      for v in self.tracker.active]
+            frame = tui.render_frame(
+                np.asarray(window, np.float32), sr, levels=levels,
+                load_series=self.tracker.load_metric.series(),
+                dispatch_series=self.tracker.dispatch_metric.series(),
+                title=f"t={self.tracker.now / sr:6.2f}s  "
+                      f"load {status.tracker_load:.3f}",
+                color=is_tty)
+            if is_tty and painted_lines:
+                print(f"\x1b[{painted_lines}F\x1b[J", end="",
+                      file=self.out)
+            print(frame, file=self.out)
+            painted_lines = frame.count("\n") + 1
+        if self.runner is not None and status is not None:
+            self.runner.observe_status(status)
+        self.rendered.append(np.concatenate(chunks))
 
     def cmd_status(self):
         self.log(f"now = {self.tracker.now} samples "
