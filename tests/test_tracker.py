@@ -602,3 +602,73 @@ def test_remove_pending_does_not_interrupt_window():
     t.play(WaveformId.program(6), build_top_level_waveform(
         ir.Sine(ir.Const(2.0), ir.Const(0.0)), 0.0), start=10_000)
     assert t._window is not None
+
+
+def _compile_records(body):
+    """Runs `body()` under jax.log_compiles and returns the compile log
+    messages it emitted."""
+    import logging
+
+    import jax
+
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda rec: records.append(rec.getMessage())
+    root = logging.getLogger("jax")
+    root.addHandler(handler)
+    try:
+        with jax.log_compiles():
+            body()
+    finally:
+        root.removeHandler(handler)
+    return [r for r in records if "ompil" in r]
+
+
+def test_steady_state_rendering_compiles_nothing():
+    """Once warm, block rendering must trigger ZERO new XLA builds —
+    neither jit cache misses nor eager one-op executables.  (On the
+    real device, merely loading a few dozen tiny executables measurably
+    degrades every later dispatch in the process — the compile-time
+    verification incident, docs/design.md; this pins the steady state
+    clean so that class of regression shows up on CPU.)"""
+    from tuun_tpu.tracker import _CompileCache
+    t = Tracker(100, 16, precision="fast", jit=True,
+                compile_cache=_CompileCache())
+    for i in range(3):
+        t.play(f"v{i}", ir.BinaryPointOp(
+            ir.Operator.MULTIPLY,
+            ir.Sine(ir.Const(math.tau * (3 + 2 * i)), ir.Const(0.0)),
+            ir.Marked("amp", ir.Const(0.8))))
+    for _ in range(8):
+        t.render_block()
+
+    comp = _compile_records(lambda: [t.render_block() for _ in range(20)])
+    assert comp == [], f"steady-state rendering compiled: {comp[:4]}"
+
+    # A Modify legitimately compiles (new structure); after it warms,
+    # steady state must be clean again.
+    t.modify("v1", "amp", ir.Const(0.4))
+    for _ in range(4):
+        t.render_block()
+    comp = _compile_records(lambda: [t.render_block() for _ in range(20)])
+    assert comp == [], f"post-Modify steady state compiled: {comp[:4]}"
+    t.stop_all()
+
+
+def test_windowed_streaming_steady_state_compiles_nothing():
+    """The lookahead-window streaming path, once warm, also builds no
+    new executables per window.  (All-infinite voices: a retirement is
+    a legitimate set change and recompiles the pack signature.)"""
+    from tuun_tpu.player import build_top_level_waveform
+    t = Tracker(100, 16, precision="fast", jit=True, sync_interval=4)
+    t.fuse = True
+    t.fuse_blocking = True
+    t.lookahead = 4
+    for i in range(3):
+        t.play(WaveformId.program(i), build_top_level_waveform(
+            ir.Sine(ir.Const(3.0 + 2 * i), ir.Const(0.0)), 0.0))
+    for _ in range(12):
+        t.render_block()
+    comp = _compile_records(lambda: [t.render_block() for _ in range(24)])
+    assert comp == [], f"windowed steady state compiled: {comp[:4]}"
+    t.stop_all()
