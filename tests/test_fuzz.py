@@ -63,8 +63,35 @@ def random_waveform(rng: random.Random, depth: int) -> ir.Waveform:
         return ir.Filter(sub(), [coeff() for _ in range(k)],
                          [coeff() for _ in range(j)])
     if kind == "reset":
-        trig = ir.Sine(ir.Const(round(rng.uniform(0.5, 6), 2)),
-                       ir.Const(round(rng.uniform(0, 6), 2)))
+        # Triggers spanning the analytic-Reset decision surface: plain
+        # NCO sines (tier 0), weighted composites (hard-sync candidates),
+        # biased / LFO-modulated sines (pulse-width paths), and arbitrary
+        # subtrees (must fall back to the generic sampled-sign scan).
+        base = lambda: ir.Sine(
+            ir.Const(round(rng.uniform(0.5, 6), 2)),
+            # Mostly zero phase: the analytic tiers require it (nonzero
+            # phase gates to the generic scan — also worth covering).
+            ir.Const(0.0 if rng.random() < 0.7
+                     else round(rng.uniform(0.1, 6), 2)))
+        r = rng.random()
+        if r < 0.4:
+            trig = base()
+        elif r < 0.6:
+            trig = ir.BinaryPointOp(
+                ir.Operator.ADD, base(),
+                ir.BinaryPointOp(ir.Operator.MULTIPLY, base(),
+                                 ir.Const(round(rng.uniform(0.1, 0.9), 2))))
+        elif r < 0.8:
+            width = rng.choice([
+                ir.Const(round(rng.uniform(-0.7, 0.7), 2)),
+                ir.BinaryPointOp(  # slow LFO width: the PWM tier
+                    ir.Operator.MULTIPLY,
+                    ir.Sine(ir.Const(round(rng.uniform(0.05, 0.3), 2)),
+                            ir.Const(0.0)),
+                    ir.Const(round(rng.uniform(0.1, 0.5), 2)))])
+            trig = ir.BinaryPointOp(ir.Operator.SUBTRACT, base(), width)
+        else:
+            trig = sub()
         return ir.Reset(trig, sub())
     if kind == "alt":
         return ir.Alt(sub(), sub(), sub())
