@@ -126,3 +126,32 @@ def test_evaluate_slider_helper():
     assert abs(evaluate_slider("fn(x) => 100 * pow(100, x)", 0.5)
                - 1000.0) < 1.0
     assert abs(evaluate_slider("fn(x) => x * 2", 0.25) - 0.5) < 1e-6
+
+
+def test_session_steady_state_compiles_nothing():
+    """Once an installed instrument is warm, process() must build no
+    new executables per block (the wasm.rs audio-worklet analogue of
+    the tracker's steady-state invariant)."""
+    import logging
+
+    import jax
+
+    s = TuunSession(sample_rate=100, tempo=60, block_size=16,
+                    library_root=STDLIB, precision="fast", jit=True)
+    s.install("$10")
+    for _ in range(8):
+        s.process(16)
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda rec: records.append(rec.getMessage())
+    root = logging.getLogger("jax")
+    root.addHandler(handler)
+    try:
+        with jax.log_compiles():
+            for _ in range(20):
+                s.process(16)
+    finally:
+        root.removeHandler(handler)
+    comp = [r for r in records if "ompil" in r]
+    assert comp == [], f"session steady state compiled: {comp[:4]}"
+    s.stop()
