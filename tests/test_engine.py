@@ -715,3 +715,47 @@ def test_note_fn_matches_block_by_block():
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b),
                 err_msg=f"state leaf {text}")
+
+
+def test_structure_cache_separates_trigger_const_decisions():
+    """The analytic-Reset tiers bake compile-time decisions on concrete
+    trigger constants; the per-structure compile cache must NOT hand a
+    same-shaped waveform with different trigger consts the first
+    waveform's baked edge algebra (regression: a phase-0.5 trigger
+    inherited the phase-0 voice's analytic wrap edges and rendered
+    wrong resets)."""
+    from tuun_tpu.tracker import _CompileCache
+    cache = _CompileCache()
+    cfg = EngineConfig(100, "fast", jit=True)
+    mk = lambda ph: optimizer.optimize(ir.Reset(
+        ir.Sine(ir.Const(math.tau * 5), ir.Const(ph)), ir.Time()))
+    cv_zero = cache.get(mk(0.0), cfg)
+    w_shift = mk(0.5)
+    cv_shift = cache.get(w_shift, cfg)
+    assert cv_zero is not cv_shift
+    P = cv_shift.params_for(w_shift)
+    st = cv_shift.init(P)
+    y, v, st, _ = cv_shift.render_block(P, st, 100)
+    ref = oracle.render(w_shift, 100, 100)
+    np.testing.assert_allclose(np.asarray(y)[:len(ref)], ref, atol=2e-4)
+    # Eligible tier-0 triggers still share across frequencies (their
+    # edge algebra reads the increment from the traced params)...
+    mkf = lambda f: optimizer.optimize(ir.Reset(
+        ir.Sine(ir.Const(math.tau * f), ir.Const(0.0)), ir.Time()))
+    assert cache.get(mkf(5.0), cfg) is cache.get(mkf(7.3), cfg)
+    # ...but not across the sub-Nyquist eligibility boundary.
+    assert cache.get(mkf(60.0), cfg) is not cache.get(mkf(5.0), cfg)
+
+
+def test_reconstruct_position_wraps_like_the_render():
+    """Position cursors advance UNCLAMPED int32 in the interval render
+    (wrapping two's-complement past 2^31); the closed-form
+    reconstruction must wrap identically, not saturate at BIG_LIT."""
+    from tuun_tpu.engine.graph import _pos_i32
+    jnp_ = jax.numpy
+    # The render's semantics: int32 cursor + int32 block advance.
+    pos = jnp_.int32(2 ** 31 - 3)
+    rendered = pos + jnp_.int32(8)  # wraps
+    assert int(_pos_i32((2 ** 31 - 3) + 8)) == int(rendered)
+    # And below the boundary it is the plain value (no BIG_LIT clamp).
+    assert int(_pos_i32(2 ** 30 + 12345)) == 2 ** 30 + 12345

@@ -1670,6 +1670,34 @@ def _reloc_len(node: "Node", P, lits) -> Optional[int]:
     raise FastStateUnsupported("traced length")
 
 
+def reloc_block(root: "Node", P, state, lanes, s, e, lits):
+    """THE relocatable render contract — the single definition of the
+    fast path's mask/valid-end/advance algebra, shared by the plain
+    block renderer (`CompiledVoice._render_impl`) and the tracker's
+    lane-sharded mesh path (`Tracker._meshed_fast_fn`), which passes
+    its shard's own lane window.
+
+    `lanes` are block-local indices (the stream position lives in
+    `state`); the literal length clamps at BIG_LIT, validity masks to
+    [s, v), and the position advances by the full region."""
+    pos, rst = state
+    y, L = root.reloc(P, pos + lanes - s, lits)
+    if isinstance(L, int):
+        L = jnp.int32(min(L, BIG_LIT))
+    v = e if L is None else jnp.clip(s + L - pos, s, e)
+    y = jnp.where((lanes >= s) & (lanes < v), y, 0.0)
+    return y, v, (pos + jnp.maximum(e - s, 0), rst)
+
+
+def _pos_i32(v: int):
+    """Position scalar with the render's exact int32 semantics: the
+    interval path advances cursors UNCLAMPED (`pos + max(e-s, 0)`),
+    wrapping two's-complement past 2^31 — so the reconstruction must
+    wrap too, not saturate (a clamp diverges from the replayed state
+    once a voice outlives 2^31 samples)."""
+    return jnp.int32(np.int64(v).astype(np.int32))
+
+
 def reconstruct_state(node: "Node", P, lits, r: int, adv: int = 0):
     """State tree equal to interval-rendering [0, r) and then advancing
     [r, r+adv), for fast-mode relocatable nodes."""
@@ -1678,12 +1706,14 @@ def reconstruct_state(node: "Node", P, lits, r: int, adv: int = 0):
     if isinstance(node, CConst):
         return ()
     if isinstance(node, (CTime, CNoise)):
-        return (jnp.int32(min(r + adv, BIG_LIT)),)
+        return (_pos_i32(r + adv),)
     if isinstance(node, CFixed):
+        # CFixed advances by `take` (clipped at the payload length):
+        # its cursor genuinely saturates, unlike the unclamped ones.
         return (jnp.int32(min(r + adv, node.length)),)
     from .timeline import CTimeline
     if isinstance(node, CTimeline):
-        return (jnp.int32(min(r + adv, BIG_LIT)),)
+        return (_pos_i32(r + adv),)
     if isinstance(node, CSine):
         if not node.nco:
             raise FastStateUnsupported("non-NCO sine")
@@ -1719,7 +1749,7 @@ def reconstruct_state(node: "Node", P, lits, r: int, adv: int = 0):
             raise FastStateUnsupported("value-path Fin")
         c = lits[node.fin_slot]
         rc = min(r, c)
-        return (jnp.int32(min(r + adv, BIG_LIT)),
+        return (_pos_i32(r + adv),
                 reconstruct_state(node.length, P, lits, 0, r + adv),
                 reconstruct_state(node.inner, P, lits, rc,
                                   (r - rc) + adv))
@@ -2159,12 +2189,9 @@ class CompiledVoice:
             # threading, no per-node interval bookkeeping, and the stream
             # length is a trace-time literal — the valid end is plain
             # scalar arithmetic, no cross-lane reduction.
-            y, L = self.root.reloc(P, pos + ctx.idx - s, lits)
-            if isinstance(L, int):
-                L = jnp.int32(min(L, BIG_LIT))
-            v = e if L is None else jnp.clip(s + L - pos, s, e)
-            y = jnp.where(_mask(ctx, s, v), y, 0.0)
-            return y, v, (pos + adv, rst), ctx.captures
+            y, v, state = reloc_block(self.root, P, state, ctx.idx, s, e,
+                                      lits)
+            return y, v, state, ctx.captures
         y, v, w, rst = self.root.render(P, rst, s, e, ctx)
         # Consumers (the tracker mix, WAV writers) see only valid samples;
         # written-but-invalid overruns are an internal buffer matter.
@@ -2300,26 +2327,65 @@ def compile_voice(w: ir.Waveform, cfg: EngineConfig) -> CompiledVoice:
     return CompiledVoice(w, cfg)
 
 
-def structure_key(w: ir.Waveform) -> Tuple:
+def _trigger_key(t: ir.Waveform, sample_rate: Optional[int]) -> Tuple:
+    """Fingerprint of the compile-time decisions a Reset trigger bakes.
+
+    A plain const-sine trigger (analytic tier 0) bakes only the
+    ELIGIBILITY booleans — zero phase, sub-Nyquist band
+    (`CReset._analytic_ok`); its edge algebra reads the increment from
+    the traced params, so two such triggers may share a compiled voice
+    (and stack into one vmapped chord lane) whenever the booleans
+    coincide.  Every other trigger shape (composite hard-sync, PWM,
+    arbitrary) is verified numerically against the concrete const
+    values at compile time, so those values key the structure in full."""
+    if isinstance(t, ir.Sine) and isinstance(t.frequency, ir.Const) \
+            and isinstance(t.phase, ir.Const):
+        fv = float(t.frequency.value)
+        pv = float(t.phase.value)
+        if sample_rate:
+            fc = fv / (sample_rate * TAU)
+            return ("T0", pv == 0.0, bool(2.0 ** -20 < fc < 0.5))
+        return ("T0?", pv == 0.0, fv)  # no sr known: be conservative
+    return structure_key(t, sample_rate, in_trigger=True)
+
+
+def structure_key(w: ir.Waveform, sample_rate: Optional[int] = None,
+                  in_trigger: bool = False) -> Tuple:
     """A hashable key identifying the compiled structure of a waveform:
     node types, operators, Fixed lengths, filter aritys — everything except
-    Const values and Fixed payload contents."""
+    Const values and Fixed payload contents.
+
+    Exception: Reset triggers contribute the compile-time decisions the
+    analytic-Reset tiers bake on their concrete constants (see
+    `_trigger_key`).  Without this, a second same-shaped waveform whose
+    trigger consts differ would inherit the first's cached edge algebra
+    via the tracker's per-structure compile cache (or the timeline's
+    chord stacking) and render wrong reset edges."""
     if isinstance(w, ir.Const):
-        return ("C",)
+        return ("C", float(w.value)) if in_trigger else ("C",)
     if isinstance(w, ir.Fixed):
         return ("X", len(w.samples))
     if isinstance(w, ir.BinaryPointOp):
         return ("B", w.op.value) + tuple(
-            structure_key(c) for c in w.children())
+            structure_key(c, sample_rate, in_trigger) for c in w.children())
     if isinstance(w, ir.Filter):
         return ("F", len(w.feed_forward), len(w.feedback)) + tuple(
-            structure_key(c) for c in w.children())
+            structure_key(c, sample_rate, in_trigger) for c in w.children())
     if isinstance(w, ir.Marked):
-        return ("M", str(w.id), structure_key(w.waveform))
+        return ("M", str(w.id),
+                structure_key(w.waveform, sample_rate, in_trigger))
     if isinstance(w, ir.Captured):
-        return ("K", w.file_stem, structure_key(w.waveform))
+        return ("K", w.file_stem,
+                structure_key(w.waveform, sample_rate, in_trigger))
+    if isinstance(w, ir.Reset):
+        # Inside a composite trigger the numeric verification samples
+        # the whole subtree, nested trigger included: keep full values.
+        tk = (structure_key(w.trigger, sample_rate, True) if in_trigger
+              else _trigger_key(w.trigger, sample_rate))
+        return ("Reset", tk,
+                structure_key(w.waveform, sample_rate, in_trigger))
     return (type(w).__name__,) + tuple(
-        structure_key(c) for c in w.children())
+        structure_key(c, sample_rate, in_trigger) for c in w.children())
 
 
 def render(w: ir.Waveform, n: int, sample_rate: int, *,

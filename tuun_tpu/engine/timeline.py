@@ -153,7 +153,9 @@ def try_compile_timeline(compiler, w: ir.Waveform, path):
     by_key: Dict[Tuple, List[int]] = {}
     for i, inf in enumerate(infos):
         if inf.const_idx is None:
-            by_key.setdefault(G.structure_key(inf.w), []).append(i)
+            by_key.setdefault(
+                G.structure_key(inf.w, compiler.cfg.sample_rate),
+                []).append(i)
     for idxs in by_key.values():
         if len(idxs) >= 2 and not all(infos[i].stackable for i in idxs):
             return fallback
@@ -420,8 +422,9 @@ class CTimeline:
         for (i, off, end) in entries:
             if self.infos[i].const_idx is not None:
                 continue
-            by_key.setdefault(G.structure_key(self.infos[i].w),
-                              []).append((i, off, end))
+            by_key.setdefault(
+                G.structure_key(self.infos[i].w, self.cfg.sample_rate),
+                []).append((i, off, end))
         for group in by_key.values():
             rest: List[Tuple[int, int, Optional[int]]] = []
             sim: Dict[Tuple, List[Tuple[int, int, Optional[int]]]] = {}

@@ -131,7 +131,7 @@ def render_voices_meshed(waveforms: Sequence[ir.Waveform], n_samples: int,
     from .engine.graph import structure_key
 
     assert waveforms, "empty voice batch"
-    keys = {structure_key(w) for w in waveforms}
+    keys = {structure_key(w, sample_rate) for w in waveforms}
     assert len(keys) == 1, "render_voices_meshed needs same-structure voices"
     if mesh is None:
         mesh = default_mesh()

@@ -147,7 +147,8 @@ class _CompileCache:
         self._cache: Dict[Tuple, CompiledVoice] = {}
 
     def get(self, w: ir.Waveform, cfg: EngineConfig) -> CompiledVoice:
-        key = (structure_key(w), cfg.sample_rate, cfg.precision, cfg.jit,
+        key = (structure_key(w, cfg.sample_rate), cfg.sample_rate,
+               cfg.precision, cfg.jit,
                cfg.timeline)
         voice = self._cache.get(key)
         if voice is None:
@@ -400,17 +401,15 @@ class VoiceGroup:
             vspec = PartitionSpec("voice")
 
             def shard_fn(bp, bs, wts, starts, e):
+                from .engine.graph import reloc_block
                 k = jax.lax.axis_index("time")
                 base = k * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
 
                 def one(P, st, s):
-                    pos, rst = st
-                    y, L = compiled.root.reloc(P, pos + base - s, lits)
-                    if isinstance(L, int):
-                        L = jnp.int32(min(L, 2 ** 30))
-                    v = e if L is None else jnp.clip(s + L - pos, s, e)
-                    y = jnp.where((base >= s) & (base < v), y, 0.0)
-                    return y, v, (pos + jnp.maximum(e - s, 0), rst)
+                    # The shared fast-path contract, evaluated at this
+                    # time shard's own lane window.
+                    return reloc_block(compiled.root, P, st, base, s, e,
+                                       lits)
                 y, v, st = jax.vmap(one)(bp, bs, starts)
                 mix = jax.lax.psum(
                     jnp.sum(y * wts[:, None], axis=0), "voice")
@@ -432,7 +431,8 @@ class VoiceGroup:
             fn = jax.jit(shard_map(
                 shard_fn, mesh=mesh,
                 in_specs=(vspec, vspec, vspec, vspec, PartitionSpec()),
-                out_specs=out_specs))
+                out_specs=out_specs),
+                donate_argnums=self.compiled._donate_state)
             self.compiled._render_jit[key] = fn
         return fn
 
