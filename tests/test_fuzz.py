@@ -303,3 +303,75 @@ def test_tracker_schedule_fuzz_across_configs():
             got, _ = nt.render(len(ref))
             np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4,
                                        err_msg=f"trial {trial} native")
+
+
+def test_tracker_command_fuzz_across_configs():
+    """Random schedules with random MID-STREAM commands (Modify on a
+    marked subtree — including analytic-Reset voices, whose sign/age
+    state must carry exactly) must render the same mix through every
+    tracker configuration.  Commands land at identical block boundaries
+    in each config; windowed configs must interrupt and replay
+    correctly."""
+    import random
+
+    from tuun_tpu.ids import WaveformId
+    from tuun_tpu.player import build_top_level_waveform
+    from tuun_tpu.tracker import Tracker
+
+    rng = random.Random(7)
+    sr = 100
+
+    def rand_voice():
+        kind = rng.randrange(3)
+        freq = rng.uniform(1.0, 9.0)
+        amp = ir.Marked("amp", ir.Const(rng.uniform(0.3, 1.0)))
+        if kind == 0:  # marked sine
+            core = ir.Sine(ir.Const(freq), ir.Const(0.0))
+        elif kind == 1:  # analytic reset (sawtooth-like): sign/age carry
+            core = ir.Reset(ir.Sine(ir.Const(freq * math.tau / 6),
+                                    ir.Const(0.0)), ir.Time())
+        else:  # finite marked segment
+            core = ir.Fin(
+                ir.BinaryPointOp(ir.Operator.SUBTRACT, ir.Time(),
+                                 ir.Const(rng.uniform(0.8, 2.0))),
+                ir.Sine(ir.Const(freq), ir.Const(0.0)))
+        return ir.BinaryPointOp(ir.Operator.MULTIPLY, core, amp)
+
+    for trial in range(3):
+        voices = [(rand_voice(), rng.randrange(0, 60))
+                  for _ in range(rng.randint(2, 5))]
+        block = rng.choice([8, 16])
+        n_blocks = 240 // block
+        # Command script: (block index, voice index, new amp value).
+        commands = sorted(
+            (rng.randrange(2, n_blocks - 1), rng.randrange(len(voices)),
+             round(rng.uniform(0.1, 1.2), 3))
+            for _ in range(rng.randint(1, 4)))
+        outs = {}
+        for label, kw, fuse, la in (
+                ("plain", dict(sync_interval=1), False, 1),
+                ("defer", dict(sync_interval=4), False, 1),
+                ("fused", dict(sync_interval=4), True, 1),
+                ("window", dict(sync_interval=4), True, 4)):
+            t = Tracker(sr, block, precision="fast", jit=True, **kw)
+            t.fuse = fuse
+            t.fuse_blocking = True
+            t.lookahead = la
+            for i, (w, start) in enumerate(voices):
+                t.play(WaveformId.program(i),
+                       build_top_level_waveform(w, 0.0), start=start)
+            chunks = []
+            ci = 0
+            for b in range(n_blocks):
+                while ci < len(commands) and commands[ci][0] == b:
+                    _, vi, val = commands[ci]
+                    t.modify(WaveformId.program(vi), "amp", ir.Const(val))
+                    ci += 1
+                chunks.append(np.asarray(t.render_block()[0]))
+            outs[label] = np.concatenate(chunks)
+        base = outs.pop("plain")
+        for label, got in outs.items():
+            np.testing.assert_allclose(
+                got, base, atol=1e-5,
+                err_msg=f"trial {trial} config {label} "
+                        f"commands {commands}")
