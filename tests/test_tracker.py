@@ -672,3 +672,80 @@ def test_windowed_streaming_steady_state_compiles_nothing():
     comp = _compile_records(lambda: [t.render_block() for _ in range(24)])
     assert comp == [], f"windowed steady state compiled: {comp[:4]}"
     t.stop_all()
+
+
+def test_repeat_every_zero_plays_once_no_hang():
+    """A non-positive repetition period must not spin the catch-up loop
+    forever (regression: repeat_every=0 hung render_block)."""
+    t = make_tracker()
+    t.play("a", ir.Fin(ir.BinaryPointOp(
+        ir.Operator.SUBTRACT, ir.Time(), ir.Const(0.1)),
+        ir.Const(1.0)), repeat_every=0)
+    out = [t.render_block()[0] for _ in range(6)]
+    # Played exactly once: 10 samples of 1.0, then silence, no pending.
+    y = np.concatenate(out)
+    assert np.count_nonzero(y) == 10
+    assert not t.pending
+
+
+def test_modify_without_the_mark_is_a_no_op():
+    """A Modify whose mark is absent from the voice must not degrade it
+    (regression: a slider move fanned out to every voice dropped
+    mark-less voices off the fast/exact-retirement path forever)."""
+    t = Tracker(100, 16, precision="fast", jit=True)
+    t.play("a", ir.Fin(ir.BinaryPointOp(
+        ir.Operator.SUBTRACT, ir.Time(), ir.Const(1.0)),
+        ir.Sine(ir.Const(5.0), ir.Const(0.0))))
+    t.render_block()
+    v = [v for v in t.active if v.id == "a"][0]
+    total_before = v.total_len
+    compiled_before = v.compiled
+    assert total_before is not None
+    t.modify("a", "no-such-mark", ir.Const(0.5))
+    assert v.total_len == total_before        # exact retirement kept
+    assert v.compiled is compiled_before      # no recompile/splice
+    assert t._ends_known
+    t.stop_all()
+
+
+def test_interrupt_window_keeps_sync_cadence():
+    """Blocks served from a window before an interrupt must count toward
+    the sync cadence (regression: up to K-1 blocks of slip after every
+    play-triggered interrupt)."""
+    from tuun_tpu.player import build_top_level_waveform
+    t = Tracker(100, 16, precision="fast", jit=True, sync_interval=4)
+    t.fuse = True
+    t.fuse_blocking = True
+    t.lookahead = 4
+    for i in range(2):
+        t.play(WaveformId.program(i), build_top_level_waveform(
+            ir.Sine(ir.Const(3.0 + 2 * i), ir.Const(0.0)), 0.0))
+    for _ in range(12):
+        t.render_block()
+    assert t._window is not None
+    served = t._window["k"]
+    before = t._since_sync
+    t.play(WaveformId.program(7), build_top_level_waveform(
+        ir.Sine(ir.Const(9.0), ir.Const(0.0)), 0.0))  # interrupts
+    assert t._window is None
+    assert t._since_sync == before + served
+    t.stop_all()
+
+
+def test_single_member_set_gets_lookahead_window():
+    """A one-instrument session (the common production case) must still
+    engage lookahead windows — K-1 dispatches saved per window
+    (regression: the <2-member fusion guard blocked windows too)."""
+    from tuun_tpu.player import build_top_level_waveform
+    t = Tracker(100, 16, precision="fast", jit=True, sync_interval=4)
+    t.fuse = True
+    t.fuse_blocking = True
+    t.lookahead = 4
+    t.play(WaveformId.program(0), build_top_level_waveform(
+        ir.Sine(ir.Const(3.0), ir.Const(0.0)), 0.0))
+    opened = False
+    for _ in range(16):
+        t.render_block()
+        opened = opened or t._window is not None
+    assert opened
+    t.stop_all()

@@ -2040,6 +2040,7 @@ class CompiledVoice:
                                   for f in self._fins])
             self._lens_fn = jax.jit(lens) if cfg.jit else lens
         self._lits_cache: Dict[int, Tuple[int, ...]] = {}
+        self._symlen_cache: Dict[Tuple, Optional[int]] = {}
 
     def lits_for(self, P) -> Optional[Tuple[int, ...]]:
         """Host-concretized Fin cutoffs for this parameter set (one device
@@ -2071,23 +2072,47 @@ class CompiledVoice:
         Fin cutoffs composes entirely from Python ints, so it is a
         trace-time literal.  Returns None when infinite, unresolvable, or
         not relocatable — callers fall back to the oracle's length()
-        (the reference's generate-and-scan, generator.rs:620-782)."""
+        (the reference's generate-and-scan, generator.rs:620-782).
+
+        Called at every voice activation (every note-on), so the eager
+        1-lane reloc evaluation runs ON THE CPU BACKEND — on the main
+        device it would load one-op executables that degrade every later
+        dispatch (the state_at / verification hazard) — and literal
+        results memoize per lits (lengths compose from lits + structure,
+        so the first activation pays, the rest hit the dict)."""
         if not self.relocatable:
             return None
         if lits is None:
             lits = self.lits_for(P)
+        cached = self._symlen_cache.get(lits, False)
+        if cached is not False:
+            return cached
         try:
-            _, L = self.root.reloc(P, jnp.zeros(1, jnp.int32), lits)
+            cpu = jax.local_devices(backend="cpu")[0]
+        except Exception:  # pragma: no cover - cpu-less builds
+            cpu = None
+        try:
+            if cpu is not None:
+                Pc = jax.device_put(jax.device_get(P), cpu)
+                with jax.default_device(cpu):
+                    _, L = self.root.reloc(Pc, jnp.zeros(1, jnp.int32),
+                                           lits)
+            else:
+                _, L = self.root.reloc(P, jnp.zeros(1, jnp.int32), lits)
         except Exception:
             return None
-        if L is None:
-            return None  # infinite
-        if not isinstance(L, int):
+        literal = L is None or isinstance(L, int)
+        if not literal:
             try:
                 L = int(jax.device_get(L))
             except Exception:
                 return None
-        return None if L >= BIG_LIT else L
+        out = None if L is None or L >= BIG_LIT else L
+        if literal and lits is not None:
+            # Only literal lengths memoize: a (hypothetical) traced
+            # length could depend on P beyond the lits key.
+            self._symlen_cache[lits] = out
+        return out
 
     # -- params ---------------------------------------------------------
 

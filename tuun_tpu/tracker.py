@@ -373,8 +373,11 @@ class VoiceGroup:
                 rms = jnp.sqrt(jnp.mean(y * y, axis=1))
                 peak = jnp.max(jnp.abs(y), axis=1)
                 return jnp.sum(y, axis=0), v, st, caps, rms, peak
+            # Honor the eager-mode debugging contract like every other
+            # render-fn builder (batched_render_fn guards on cfg.jit).
             fn = jax.jit(batched,
-                         donate_argnums=self.compiled._donate_state)
+                         donate_argnums=self.compiled._donate_state) \
+                if self.compiled.cfg.jit else batched
             self.compiled._render_jit[key] = fn
         return fn
 
@@ -476,6 +479,29 @@ class VoiceGroup:
         for i, voice in enumerate(self.voices):
             voice.state = jax.tree_util.tree_map(
                 lambda x, i=i: x[i], self.bstate)
+
+
+def _append_capture(voice, stem: str, cy, cs, cv) -> None:
+    """Appends one capture window's valid slice [cs, cv) to the voice's
+    stem buffers — the single definition of the capture-slice contract
+    (used by the per-voice, fused, and deferred-resolution paths)."""
+    cs_i, cv_i = int(cs), int(cv)
+    if cv_i > cs_i:
+        voice.captures.setdefault(stem, []).append(
+            np.asarray(cy[cs_i:cv_i], np.float32))
+
+
+def _resolve_single(voice, v, e: int, caps, lv=None) -> None:
+    """Non-deferred resolution of one voice's render outputs — finish
+    detection, optional levels, capture slicing — shared by the
+    per-voice path and the fused session step."""
+    if int(v) < e:
+        voice.finished = True
+    if lv is not None:
+        voice.level_rms = float(lv[0])
+        voice.level_peak = float(lv[1])
+    for stem, (cy, cs, cv) in caps.items():
+        _append_capture(voice, stem, cy, cs, cv)
 
 
 def _staged_ready(staged) -> bool:
@@ -580,6 +606,11 @@ class Tracker:
 
     def play(self, wid, waveform: ir.Waveform, start: Optional[int] = None,
              repeat_every: Optional[int] = None) -> None:
+        if repeat_every is not None and repeat_every <= 0:
+            # A non-positive period (e.g. Player.loop over 0 measures, or
+            # a fraction flooring to 0 samples) would spin the missed-
+            # repetition catch-up loop forever: play once instead.
+            repeat_every = None
         start = self.now if start is None else start
         if self._window is not None and start < \
                 self._window["start"] + self._window["K"] * self.block_size:
@@ -597,11 +628,27 @@ class Tracker:
         self._groups_dirty = True
 
     def modify(self, wid, mark_id, new_waveform: ir.Waveform) -> None:
-        """Replaces the subtree under `mark_id`, carrying unchanged state."""
+        """Replaces the subtree under `mark_id`, carrying unchanged state.
+
+        A voice whose waveform does not contain the mark is untouched:
+        callers fan commands out (e.g. a slider move hits every active
+        id), and treating the no-op substitution as a real splice would
+        permanently degrade the voice — off the fast/timeline path,
+        exact retirement lost — for a change that changed nothing."""
+
+        def has_mark(w):
+            return any(isinstance(x, ir.Marked) and x.id == mark_id
+                       for x in w.walk())
+
+        if not any((v.id == wid and has_mark(v.waveform))
+                   for v in self.active) and \
+                not any((p.id == wid and has_mark(p.waveform))
+                        for p in self.pending):
+            return
         self._interrupt_window()
         self._materialize_groups()
         for voice in self.active:
-            if voice.id == wid:
+            if voice.id == wid and has_mark(voice.waveform):
                 new_w = ir.substitute(voice.waveform, mark_id, new_waveform)
                 compiled = self.cache.get(new_w, self.cfg)
                 old_compiled = voice.compiled
@@ -646,7 +693,7 @@ class Tracker:
                 voice.total_len = None
                 self._ends_known = False
         for p in self.pending:
-            if p.id == wid:
+            if p.id == wid and has_mark(p.waveform):
                 p.waveform = ir.substitute(p.waveform, mark_id, new_waveform)
                 p.marks = collect_marks(p.waveform, self.sample_rate, p.id,
                                         p.start)
@@ -731,18 +778,12 @@ class Tracker:
             if caps:
                 voice._pending_caps.append(caps)
             return y
-        v = int(v)
-        if v < e:
-            voice.finished = True
+        lv = None
         if self.report_levels:
             ynp = np.asarray(y, np.float32)
-            voice.level_rms = float(np.sqrt(np.mean(ynp * ynp)))
-            voice.level_peak = float(np.abs(ynp).max())
-        for stem, (cy, cs, cv) in caps.items():
-            cs_i, cv_i = int(cs), int(cv)
-            if cv_i > cs_i:
-                voice.captures.setdefault(stem, []).append(
-                    np.asarray(cy[cs_i:cv_i], np.float32))
+            lv = (float(np.sqrt(np.mean(ynp * ynp))),
+                  float(np.abs(ynp).max()))
+        _resolve_single(voice, v, int(e), caps, lv)
         return np.asarray(y, np.float32)
 
     # -- fused session step --------------------------------------------
@@ -785,8 +826,19 @@ class Tracker:
         own executables; a single member has no dispatch to save)."""
         if any(g.mesh is not None for g in self._groups):
             return None
-        if len(self._singles) + len(self._groups) < 2:
+        members = len(self._singles) + len(self._groups)
+        if members == 0:
             return None
+        if members < 2:
+            # A single member has no per-block dispatch to save — but a
+            # lookahead window still saves K-1 dispatches per window
+            # (and the per-window host sync), and windows require a live
+            # fused entry. Fuse singletons whenever windows can engage
+            # (the one-installed-instrument session is the common case).
+            K = self.lookahead if self.lookahead is not None \
+                else self.sync_interval
+            if K is None or K <= 1:
+                return None
         parts = []
         for v in self._singles:
             fast, lits = v.compiled._resolve_fast(v.fast, v.params, v.lits)
@@ -859,6 +911,12 @@ class Tracker:
 
         ent = self._fused_cache.get(cache_key)
         if ent is None:
+            # LRU bound like the sibling caches (_scalar_cache, _pack_jit):
+            # a long-lived session cycling voice-set shapes would otherwise
+            # accumulate one compiled XLA program per combination forever.
+            if len(self._fused_cache) >= 64:
+                victim = next(iter(self._fused_cache))
+                del self._fused_cache[victim]
             step, donate = build()
             jitted = jax.jit(step, donate_argnums=donate) \
                 if self.cfg.jit else None
@@ -923,17 +981,7 @@ class Tracker:
                 if caps:
                     v._pending_caps.append(caps)
                 continue
-            vi = int(val)
-            if vi < n:
-                v.finished = True
-            if lv is not None:
-                v.level_rms = float(lv[0])
-                v.level_peak = float(lv[1])
-            for stem, (cy, cs, cv) in caps.items():
-                cs_i, cv_i = int(cs), int(cv)
-                if cv_i > cs_i:
-                    v.captures.setdefault(stem, []).append(
-                        np.asarray(cy[cs_i:cv_i], np.float32))
+            _resolve_single(v, val, n, caps, lv)
         for g in self._groups:
             val, st2, caps, lv = outs[idx]
             idx += 1
@@ -1093,6 +1141,11 @@ class Tracker:
         if w is None:
             return
         self._window = None
+        # The k blocks already served from this window were never counted
+        # (_since_sync freezes while a window is live; _finalize_window
+        # normally accounts them) — count them here or the sync cadence
+        # slips by up to K-1 blocks after every play-triggered interrupt.
+        self._since_sync += w["k"]
         n = self.block_size
         for j in range(w["k"]):
             self._render_all_fused(w["key"], n, w["start"] + j * n, True)
@@ -1301,10 +1354,7 @@ class Tracker:
                 caps, e = extra
                 for i, voice in enumerate(target.voices):
                     for stem, (cy, cs, cv) in caps.items():
-                        cs_i, cv_i = int(cs[i]), int(cv[i])
-                        if cv_i > cs_i:
-                            voice.captures.setdefault(stem, []).append(
-                                np.asarray(cy[i, cs_i:cv_i], np.float32))
+                        _append_capture(voice, stem, cy[i], cs[i], cv[i])
                     if int(v_np[i]) < e:
                         voice.finished = True
             elif kind == "slevel":
@@ -1322,10 +1372,7 @@ class Tracker:
             else:  # caps on a single voice
                 voice, caps = target, extra
                 for stem, (cy, cs, cv) in caps.items():
-                    cs_i, cv_i = int(cs), int(cv)
-                    if cv_i > cs_i:
-                        voice.captures.setdefault(stem, []).append(
-                            np.asarray(cy[cs_i:cv_i], np.float32))
+                    _append_capture(voice, stem, cy, cs, cv)
 
     def _ensure_fetcher(self):
         import queue as _q
