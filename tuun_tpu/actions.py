@@ -154,6 +154,10 @@ class AppState:
     # owns the function value and stored note-offs).
     keys_program: Optional[int] = None
     repeat_after_measures: Optional[int] = None
+    # What the 8x2 DAW pad grid does: launch clips or install keys
+    # instruments.  Cycled by re-selecting the DAW pad layout on the
+    # controller (actions.rs:70-84, DawPadMode).
+    daw_pad_mode: str = "clip_launcher"  # or "keys_installer"
     should_exit: bool = False
     # Last user-visible status message; may be multi-line (first line is
     # the summary).
@@ -369,6 +373,22 @@ class CycleRepeatAfterMeasures:
 
 
 @dataclass(frozen=True)
+class SetEncoderMode:
+    """The controller reported an encoder-mode switch (Plugin/Mixer);
+    the runner owns the Launchkey-side mirror (actions.rs:601-605)."""
+    mode: str  # launchkey.PLUGIN / launchkey.MIXER
+
+
+@dataclass(frozen=True)
+class PadModeChanged:
+    """The controller reported a pad-layout change.  A DAW -> DAW
+    re-selection cycles the app's DAW pad sub-mode between the clip
+    launcher and the keys installer (actions.rs:606-620)."""
+    previous: str  # launchkey.PAD_MODE_DAW / PAD_MODE_OTHER
+    current: str
+
+
+@dataclass(frozen=True)
 class SaveAll:
     """Persist slider/level annotations for every program and write the
     source file (the reference's S key, README.md:66-69)."""
@@ -489,6 +509,38 @@ class EShowMessage:
 @dataclass(frozen=True)
 class EDumpActiveWaveform:
     pass
+
+
+@dataclass(frozen=True)
+class ESetLaunchkeyEncoderMode:
+    """Update the controller-side encoder-mode mirror; on a real change
+    the runner re-asserts relative output (the device resets the feature
+    on every mode switch) and re-syncs the displays (effects.rs:294-305)."""
+    mode: str
+
+
+@dataclass(frozen=True)
+class ESetLaunchkeyPadMode:
+    mode: str
+
+
+@dataclass(frozen=True)
+class ESetDawModeDisplay:
+    label: str
+
+
+@dataclass(frozen=True)
+class ESyncEncoders:
+    """Push the active bank/program's encoder names+values to the
+    controller displays (effects.rs:288-292, sync_encoders :340-377)."""
+    pass
+
+
+@dataclass(frozen=True)
+class ESetEncoderDisplay:
+    index: int
+    name: str
+    value: str
 
 
 @dataclass(frozen=True)
@@ -730,6 +782,24 @@ def apply(state: AppState, ctx: Context, action) -> List[object]:
         state.repeat_after_measures = nxt
         return [EShowMessage(msg)]
 
+    if isinstance(action, SetEncoderMode):
+        # The encoder-mode mirror lives on the controller handle; the
+        # runner updates it and re-syncs only on a real change
+        # (actions.rs:601-605).
+        return [ESetLaunchkeyEncoderMode(action.mode)]
+    if isinstance(action, PadModeChanged):
+        effects: List[object] = [ESetLaunchkeyPadMode(action.current)]
+        if action.current == "daw":
+            if action.previous == "daw":
+                state.daw_pad_mode = ("keys_installer"
+                                      if state.daw_pad_mode == "clip_launcher"
+                                      else "clip_launcher")
+            label = ("Clip Launcher" if state.daw_pad_mode == "clip_launcher"
+                     else "Keys Installer")
+            effects.append(ESetDawModeDisplay(label))
+            effects.append(EShowMessage(label))
+        return effects
+
     if isinstance(action, SaveAll):
         return [ESaveAll()]
     if isinstance(action, ReloadFile):
@@ -775,10 +845,16 @@ def _remove_pending_effects(state: AppState, ctx: Context,
 def _select_program(state: AppState, i: int) -> List[object]:
     if i >= len(state.programs.programs):
         return []
+    changed = state.active_program_index != i
     state.active_program_index = i
     # Navigation is a fresh context: replace any prior status message
     # with the selected program's name.
-    return [EShowMessage(state.programs.display_name(i))]
+    effects: List[object] = [EShowMessage(state.programs.display_name(i))]
+    if changed:
+        # The controller's encoder displays follow the selection
+        # (actions.rs:709-711).
+        effects.append(ESyncEncoders())
+    return effects
 
 
 # -- text editing -----------------------------------------------------------
@@ -996,6 +1072,11 @@ def _apply_slider(state: AppState, program_index: int, slider_index: int,
     # active key waveform too.
     if state.keys_program == program_index:
         effects.append(EUpdateActiveKeySliders(config.label, value))
+    # In Plugin mode the 8 encoders map 1:1 to the active program's
+    # sliders, so the slider index IS the encoder index
+    # (actions.rs:1165-1173).
+    effects.append(ESetEncoderDisplay(slider_index, config.label,
+                                      f"{value:.3g}"))
     effects.append(EShowMessage(
         f"{config.label}({slider_index}) = {value:.3g}"))
     return effects
@@ -1015,6 +1096,10 @@ def _apply_level_db(state: AppState, program_index: int,
         ir.Const(amplitude))]
     if state.keys_program == program_index:
         effects.append(EModifyActiveKeysAmplitude(amplitude))
+    # Mixer-mode encoders map bank-relative (actions.rs:1204-1211).
+    from .programs import PROGRAMS_PER_BANK
+    effects.append(ESetEncoderDisplay(program_index % PROGRAMS_PER_BANK,
+                                      "level", f"{level_db:.3g} dB"))
     effects.append(EShowMessage(
         f"level({state.programs.display_name(program_index)}) = "
         f"{level_db:.3g} dB"))

@@ -45,6 +45,9 @@ class EffectRunner:
         self._note_offs: Dict[int, ir.Waveform] = {}
         # Last value per (program, slider) for ramp starts.
         self._slider_values: Dict[tuple, float] = {}
+        # Optional Launchkey controller handle (launchkey.Launchkey);
+        # the reference threads it as World.launchkey (effects.rs:39).
+        self.launchkey = None
 
     @property
     def tracker(self) -> Tracker:
@@ -198,6 +201,27 @@ class EffectRunner:
             self._keys_fn = None
             self.invalidate()
             self._show(message or f"reloaded {ps.input_path}")
+        elif isinstance(effect, A.ESetLaunchkeyEncoderMode):
+            lk = self.launchkey
+            if lk is not None and lk.encoder_mode != effect.mode:
+                lk.encoder_mode = effect.mode
+                # The device resets the relative-output feature on every
+                # encoder-mode switch; re-assert it, then re-sync the
+                # displays for the new mode (effects.rs:294-305).
+                lk.set_encoder_relative_output()
+                self._sync_encoders()
+        elif isinstance(effect, A.ESetLaunchkeyPadMode):
+            if self.launchkey is not None:
+                self.launchkey.pad_mode = effect.mode
+        elif isinstance(effect, A.ESetDawModeDisplay):
+            if self.launchkey is not None:
+                self.launchkey.set_daw_mode_display(effect.label)
+        elif isinstance(effect, A.ESyncEncoders):
+            self._sync_encoders()
+        elif isinstance(effect, A.ESetEncoderDisplay):
+            if self.launchkey is not None:
+                self.launchkey.set_encoder_display(
+                    effect.index, effect.name, effect.value)
         elif isinstance(effect, A.EShowMessage):
             self._show(effect.message)
         elif isinstance(effect, A.EDumpActiveWaveform):
@@ -211,6 +235,41 @@ class EffectRunner:
             state.should_exit = True
         else:
             raise TypeError(f"unknown effect: {effect!r}")
+
+    # -- controller sync -------------------------------------------------
+
+    def _sync_encoders(self) -> None:
+        """Pushes the active bank/program's encoder names+values to the
+        controller displays (effects.rs sync_encoders, :340-377): Plugin
+        mode maps the 8 encoders to the active program's sliders, Mixer
+        mode to the bank's per-program levels."""
+        from . import launchkey as LK
+        lk = self.launchkey
+        if lk is None:
+            return
+        state = self.state
+        ps = state.programs
+        if lk.encoder_mode == LK.PLUGIN:
+            if state.active_program_index >= len(ps.programs):
+                return
+            program = ps.programs[state.active_program_index]
+            for i in range(LK.NUM_ENCODERS):
+                if i < len(program.sliders.normalized_values):
+                    from .sliders import denormalize_or_zero
+                    config = program.sliders.configs[i]
+                    value = denormalize_or_zero(
+                        config.function,
+                        program.sliders.normalized_values[i])
+                    lk.set_encoder_display(i, config.label, f"{value:.3g}")
+                else:
+                    lk.set_encoder_display(i, "", "")
+            return
+        bank_start = state.bank_start()
+        for i in range(LK.NUM_ENCODERS):
+            index = bank_start + i
+            if index < len(ps.programs):
+                lk.set_encoder_display(
+                    i, "level", f"{ps.programs[index].level_db:.3g} dB")
 
     # -- notes / sliders -----------------------------------------------
 
