@@ -1,0 +1,273 @@
+/* <tuun-synth>: the Tuun synthesizer web component, TPU-server edition.
+ *
+ * Same element API as the reference component (web/tuun-synth.js in the
+ * Rust repo): attributes `description`, `open` (JSON list of modules),
+ * `expression` (or a <script type="text/tuun"> body), `sliders` (JSON
+ * list of "label:initial:min:max" / "label:initial:fn(x) => ..."),
+ * boolean `controls` and `expanded`.
+ *
+ * Where the reference instantiates a WASM engine inside an
+ * AudioWorkletProcessor and pumps tuun.process(output) per 128-sample
+ * quantum (web/tuun-processor.js:46-69), this element streams rendered
+ * float32 blocks from the local tuun-tpu server (tools/web_demo.py) and
+ * feeds them to a queue-draining worklet — the process() pump runs on
+ * the TPU end of a chunked HTTP response instead of in-page.
+ */
+
+const FEED_WORKLET = `
+class TuunFeed extends AudioWorkletProcessor {
+  constructor() {
+    super();
+    this.queue = [];
+    this.offset = 0;
+    this.ended = false;
+    this.played = 0;
+    this.port.onmessage = (e) => {
+      if (e.data === null) this.ended = true;
+      else this.queue.push(e.data);
+    };
+  }
+  process(_inputs, outputs) {
+    const out = outputs[0][0];
+    let i = 0;
+    while (i < out.length && this.queue.length) {
+      const head = this.queue[0];
+      const n = Math.min(out.length - i, head.length - this.offset);
+      out.set(head.subarray(this.offset, this.offset + n), i);
+      i += n;
+      this.offset += n;
+      if (this.offset === head.length) { this.queue.shift(); this.offset = 0; }
+    }
+    this.played += i;
+    for (; i < out.length; i++) out[i] = 0;
+    if (this.ended && !this.queue.length) {
+      this.port.postMessage({done: true});
+      return false;
+    }
+    return true;
+  }
+}
+registerProcessor('tuun-feed', TuunFeed);
+`;
+
+let nextId = 1;
+
+class TuunSynth extends HTMLElement {
+  constructor() {
+    super();
+    this.id_ = `el${nextId++}`;
+    this.ctx = null;
+    this.node = null;
+    this.abort = null;
+    this.playing = false;
+    this.kind = null;
+    this.heldKeys = new Set();
+  }
+
+  connectedCallback() {
+    const root = this.attachShadow({mode: 'open'});
+    const description = this.getAttribute('description') || '';
+    const expanded = this.hasAttribute('expanded') || !description;
+    const controls = this.hasAttribute('controls');
+    root.innerHTML = `
+      <style>
+        .box { border: 1px solid #ccc; border-radius: 6px; background: #fff;
+               padding: 10px; margin: 8px 0; font-family: inherit; }
+        .row { display: flex; align-items: center; gap: 8px; }
+        button { min-width: 64px; }
+        textarea { width: 100%; box-sizing: border-box; font-family: monospace;
+                   min-height: 3em; margin-top: 8px; }
+        .body { display: ${expanded ? 'block' : 'none'}; }
+        .slider-row { display: flex; align-items: center; gap: 6px;
+                      font-size: 13px; margin-top: 4px; }
+        .slider-row input { flex: 1; }
+        .val { min-width: 70px; text-align: right; font-family: monospace; }
+        .status { color: #888; font-size: 12px; margin-top: 6px;
+                  white-space: pre-wrap; }
+        .keys { margin-top: 6px; display: none; }
+        .keys button { min-width: 34px; }
+        .desc { flex: 1; color: #444; }
+        .twist { cursor: pointer; user-select: none; color: #888; }
+      </style>
+      <div class="box">
+        <div class="row">
+          <button class="play">Play</button>
+          <span class="desc">${description}</span>
+          ${description ? '<span class="twist">[code]</span>' : ''}
+        </div>
+        <div class="body">
+          <textarea spellcheck="false"></textarea>
+          <div class="sliders"></div>
+          <div class="keys"></div>
+        </div>
+        <div class="status"></div>
+      </div>`;
+    this.$ = (sel) => root.querySelector(sel);
+    this.$('.play').addEventListener('click', () => this.toggle());
+    const twist = this.$('.twist');
+    if (twist) twist.addEventListener('click', () => {
+      const b = this.$('.body');
+      b.style.display = b.style.display === 'none' ? 'block' : 'none';
+    });
+    const scriptBody = this.querySelector('script[type="text/tuun"]');
+    const expr = this.getAttribute('expression') ||
+        (scriptBody ? scriptBody.textContent.trim() : '');
+    this.$('textarea').value = expr;
+    if (!controls && !this.hasAttribute('expanded') && description)
+      this.$('.body').style.display = 'none';
+  }
+
+  status(msg) { this.$('.status').textContent = msg; }
+
+  async api(path, body) {
+    const r = await fetch(path, {method: 'POST',
+                                 headers: {'Content-Type': 'application/json'},
+                                 body: JSON.stringify(body)});
+    const out = await r.json();
+    if (!r.ok) throw new Error(out.error || r.statusText);
+    return out;
+  }
+
+  async toggle() {
+    if (this.playing) return this.stop();
+    try { await this.play(); }
+    catch (e) { this.status(`error: ${e.message}`); this.stop(); }
+  }
+
+  async play() {
+    const body = {
+      id: this.id_,
+      expression: this.$('textarea').value,
+      sliders: this.getAttribute('sliders') || null,
+      opens: JSON.parse(this.getAttribute('open') || '["std"]'),
+    };
+    const info = await this.api('/api/install', body);
+    this.kind = info.kind;
+    this.renderSliders(info.sliders);
+    this.playing = true;
+    this.$('.play').textContent = 'Stop';
+    if (info.kind === 'keys') {
+      this.renderKeys();
+      this.status('keys instrument installed — click the keys');
+      return;
+    }
+    this.$('.keys').style.display = 'none';
+    await this.startStream(info.sample_rate);
+  }
+
+  async ensureAudio(sampleRate) {
+    if (this.ctx && this.ctx.sampleRate === sampleRate) return;
+    if (this.ctx) await this.ctx.close();
+    this.ctx = new AudioContext({sampleRate});
+    const url = URL.createObjectURL(
+        new Blob([FEED_WORKLET], {type: 'application/javascript'}));
+    await this.ctx.audioWorklet.addModule(url);
+  }
+
+  async startStream(sampleRate) {
+    await this.ensureAudio(sampleRate);
+    this.node = new AudioWorkletNode(this.ctx, 'tuun-feed',
+                                     {outputChannelCount: [1]});
+    this.node.port.onmessage = (e) => { if (e.data.done) this.stop(); };
+    this.node.connect(this.ctx.destination);
+    await this.ctx.resume();
+    this.abort = new AbortController();
+    const r = await fetch(`/api/stream?id=${this.id_}`,
+                          {signal: this.abort.signal});
+    const reader = r.body.getReader();
+    let carry = new Uint8Array(0);
+    let received = 0;
+    const t0 = this.ctx.currentTime;
+    this.status('playing');
+    for (;;) {
+      // Pace the pull: stay ~1.5 s ahead of the playhead so the server
+      // (which renders far faster than realtime) doesn't pile buffers up.
+      const ahead = received / 4 / sampleRate -
+          (this.ctx.currentTime - t0);
+      if (ahead > 1.5) {
+        await new Promise((res) => setTimeout(res, 250));
+        continue;
+      }
+      let chunk;
+      try { chunk = await reader.read(); }
+      catch (e) { break; }  // aborted
+      if (chunk.done) break;
+      let data = chunk.value;
+      if (carry.length) {
+        const merged = new Uint8Array(carry.length + data.length);
+        merged.set(carry); merged.set(data, carry.length);
+        data = merged;
+      }
+      const whole = data.length - (data.length % 4);
+      carry = data.slice(whole);
+      if (whole) {
+        const f32 = new Float32Array(data.buffer.slice(data.byteOffset,
+                                                       data.byteOffset + whole));
+        received += whole;
+        if (this.node) this.node.port.postMessage(f32, [f32.buffer]);
+      }
+    }
+    if (this.node) this.node.port.postMessage(null);
+  }
+
+  renderSliders(sliders) {
+    const host = this.$('.sliders');
+    host.innerHTML = '';
+    for (const s of sliders) {
+      const row = document.createElement('div');
+      row.className = 'slider-row';
+      row.innerHTML = `<span>${s.label}</span>
+        <input type="range" min="0" max="1" step="0.001" value="${s.normalized}">
+        <span class="val">${Number(s.value).toPrecision(4)}</span>`;
+      const input = row.querySelector('input');
+      const val = row.querySelector('.val');
+      input.addEventListener('input', async () => {
+        try {
+          const out = await this.api('/api/slider',
+              {id: this.id_, label: s.label,
+               normalized: parseFloat(input.value)});
+          val.textContent = Number(out.value).toPrecision(4);
+        } catch (e) { this.status(`error: ${e.message}`); }
+      });
+      host.appendChild(row);
+    }
+  }
+
+  renderKeys() {
+    const host = this.$('.keys');
+    host.style.display = 'block';
+    host.innerHTML = '';
+    const names = ['C', 'D', 'E', 'F', 'G', 'A', 'B', 'C'];
+    const notes = [60, 62, 64, 65, 67, 69, 71, 72];
+    notes.forEach(async (note, i) => {
+      const b = document.createElement('button');
+      b.textContent = names[i];
+      b.addEventListener('pointerdown', async () => {
+        if (!this.heldKeys.size) {
+          // Keys render through the same stream; (re)start it lazily.
+          if (!this.abort) this.startStream(
+              this.ctx ? this.ctx.sampleRate : 44100);
+        }
+        this.heldKeys.add(note);
+        await this.api('/api/note_on', {id: this.id_, key: note,
+                                        velocity: 100});
+      });
+      b.addEventListener('pointerup', async () => {
+        this.heldKeys.delete(note);
+        await this.api('/api/note_off', {id: this.id_, key: note});
+      });
+      host.appendChild(b);
+    });
+  }
+
+  async stop() {
+    this.playing = false;
+    this.$('.play').textContent = 'Play';
+    this.status('');
+    try { await this.api('/api/stop', {id: this.id_}); } catch (e) {}
+    if (this.abort) { this.abort.abort(); this.abort = null; }
+    if (this.node) { this.node.disconnect(); this.node = null; }
+  }
+}
+
+customElements.define('tuun-synth', TuunSynth);
