@@ -190,15 +190,20 @@ def bench_polyphony(n_voices=256, seconds=4.0, block=1 << 17):
     e = jnp.int32(block)
     y, v, bstate, _ = fn(stacked, bstate, starts, e)
     jax.block_until_ready(y)
-    bstate = jax.vmap(voice._init_impl)(stacked)
     n_blocks = max(10, int(seconds * SAMPLE_RATE / block))
-    t0 = time.perf_counter()
-    for _ in range(n_blocks):
-        y, v, bstate, _ = fn(stacked, bstate, starts, e)
-    jax.block_until_ready(y)
-    dt = time.perf_counter() - t0
-    voice_sps = n_voices * n_blocks * block / dt
-    mix_sps = n_blocks * block / dt
+    # Best of two timed repetitions, like bench_one: the tunnel's
+    # enqueue rate swings several-fold run-to-run (observed 56 vs 250-557
+    # Gvoice-samples/s for identical executables inside one suite run).
+    best = 0.0
+    for _ in range(2):
+        bstate = jax.vmap(voice._init_impl)(stacked)
+        t0 = time.perf_counter()
+        for _ in range(n_blocks):
+            y, v, bstate, _ = fn(stacked, bstate, starts, e)
+        jax.block_until_ready(y)
+        best = max(best, n_blocks * block / (time.perf_counter() - t0))
+    voice_sps = n_voices * best
+    mix_sps = best
     print(f"# poly_voices_{n_voices}: {voice_sps / 1e6:.0f} Mvoice-samples/s"
           f" ({mix_sps / REALTIME_BASE:.0f}x realtime mix of {n_voices}"
           f" FM voices)", file=sys.stderr)
