@@ -715,6 +715,21 @@ def test_note_fn_matches_block_by_block():
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b),
                 err_msg=f"state leaf {text}")
+        # Batched-pass mode (the short-piece operating point): k
+        # independent passes fused into one executable, y = sum of the
+        # passes' last blocks, v/state from the last pass.
+        nfk = voice.note_fn(sizes, n=n, P=P, passes=3)
+        yk, vk, stk = nfk(P)
+        if "noise" not in text:  # deterministic content: exact 3x sum
+            np.testing.assert_allclose(
+                np.asarray(yk), 3.0 * np.asarray(y2), rtol=1e-6,
+                err_msg=f"passes sum {text}")
+        np.testing.assert_array_equal(np.asarray(vk), np.asarray(v2))
+        for a, b in zip(jax.tree_util.tree_leaves(st2),
+                        jax.tree_util.tree_leaves(stk)):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"passes state leaf {text}")
 
 
 def test_structure_cache_separates_trigger_const_decisions():
