@@ -105,8 +105,8 @@ WORKLOAD_AUDIO_SECONDS = {"marks_4_40": 80.0, "poly_16": 80.0,
 WORKLOAD_BLOCKS = {"large_440": 1 << 16}
 # Short pieces are enqueue-bound even at one dispatch per pass: fuse
 # several independent passes per executable (note_fn's batch-renderer
-# mode).  Measured 667 -> 3270 Ms/s for large_440; the 2^20-lane pieces
-# are compute-bound and gain nothing.
+# mode).  Measured 667 -> ~3,300-3,500 Ms/s for large_440; the
+# 2^20-lane pieces are compute-bound and gain nothing.
 WORKLOAD_PASSES = {"large_440": 8}
 
 

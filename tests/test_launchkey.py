@@ -400,3 +400,51 @@ def test_end_to_end_encoder_turn_reaches_display():
         0.5 + 4 / 512.0)
     d = device.displays[lk.ENCODER_DISPLAY_TARGET_OFFSET]
     assert d["fields"][0] == "gain"
+
+
+def test_cleared_text_still_pulses_while_playing():
+    """Playback marks are checked before emptiness: a still-sounding
+    voice pulses its pad even if the program text was just cleared
+    (midi_input.rs:200-212 evaluates has_active_mark first)."""
+    runner, device = make_runner()
+    state = runner.state
+    state.programs.programs[0].text = "   "
+    playing = Mark(WaveformId.program(0), MarkId.TOP_LEVEL, 0, 1000)
+    midi.update_launchkey_state(state, beat_status(0, [playing]),
+                                runner.launchkey, now=0)
+    assert device.pad_colors[lk.DAW_PAD_TOP_ROW_OFFSET] == (0, 127, 0)
+    # the bottom pad (pending-based) is dark for the empty idle program
+    assert device.pad_colors[lk.DAW_PAD_BOTTOM_ROW_OFFSET] == (0, 0, 0)
+
+
+def test_installed_keys_pad_lights_despite_cleared_text():
+    """The INSTALLED keys program lights regardless of current text —
+    the installed function is what's actually playing
+    (midi_input.rs:267-273)."""
+    runner, device = make_runner()
+    state = runner.state
+    state.daw_pad_mode = "keys_installer"
+    state.keys_program = 2
+    state.programs.programs[2].text = ""
+    midi.update_launchkey_state(state, beat_status(), runner.launchkey,
+                                now=0)
+    # empty but installed: pulses the (defaulted) color, not dark
+    assert device.pad_colors[lk.DAW_PAD_BOTTOM_ROW_OFFSET + 2] != (0, 0, 0)
+
+
+def test_runner_keys_candidate_is_the_evaluation_oracle():
+    """EffectRunner.keys_candidate answers from the cached Evaluation —
+    identifier-referenced instruments count, waveforms don't (the
+    reference's Program::keys_instrument())."""
+    runner, device = make_runner()
+    assert runner.keys_candidate(2) is True       # fn(k, v) => ...
+    assert runner.keys_candidate(0) is False      # waveform
+    assert runner.keys_candidate(60) is False     # empty slot
+    # drive the LED sync through the oracle: program 2 lights in
+    # installer mode even though nothing is installed yet
+    runner.state.daw_pad_mode = "keys_installer"
+    midi.update_launchkey_state(runner.state, beat_status(),
+                                runner.launchkey, now=0,
+                                keys_candidate=runner.keys_candidate)
+    assert device.pad_colors[lk.DAW_PAD_BOTTOM_ROW_OFFSET + 2] == (5, 10, 15)
+    assert device.pad_colors[lk.DAW_PAD_BOTTOM_ROW_OFFSET + 0] == (0, 0, 0)

@@ -190,3 +190,63 @@ def test_matches_reference_web_example(server):
                             '"cutoff:0.5886:fn(x) => 200 * pow(50, x)"]')
     ref = np.concatenate([session.process(), session.process()])
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_unknown_id_is_404_and_creates_no_session(server):
+    before = set(server.instances)
+    status, out = post(server, "/api/slider",
+                       {"id": "ghost", "label": "x", "normalized": 0.5})
+    assert status == 404
+    c = conn(server)
+    c.request("GET", "/api/stream?id=ghost2")
+    r = c.getresponse()
+    assert r.status == 404
+    r.read()
+    c.close()
+    assert set(server.instances) == before  # no sessions leaked
+
+
+def test_keys_stream_carries_silence_between_notes(server):
+    """A keys instrument idles between notes; its stream must survive
+    the gaps (carrying silence) so a note_on never races a stream
+    restart."""
+    status, out = post(server, "/api/install", {
+        "id": "t8",
+        "expression": "fn(k, v) => ($(220) * v | fin(time - 5),"
+                      " 0 | fin(time - 0))"})
+    assert status == 200 and out["kind"] == "keys"
+    c = conn(server)
+    c.request("GET", f"/api/stream?id=t8")
+    r = c.getresponse()
+    quiet = np.frombuffer(r.read(4 * BLOCK), dtype="<f4")
+    assert len(quiet) == BLOCK and np.all(quiet == 0.0)  # silence, not EOF
+    post(server, "/api/note_on", {"id": "t8", "key": 60, "velocity": 127})
+    # the same stream starts carrying the note within a few blocks
+    for _ in range(20):
+        got = np.frombuffer(r.read(4 * BLOCK), dtype="<f4")
+        if np.abs(got).max() > 0.1:
+            break
+    else:
+        raise AssertionError("note never reached the stream")
+    post(server, "/api/note_off", {"id": "t8", "key": 60})
+    c.close()
+
+
+def test_instance_cap_evicts_oldest(server):
+    from tuun_tpu.tools import web_demo
+    old_cap = web_demo.MAX_INSTANCES
+    web_demo.MAX_INSTANCES = 4
+    try:
+        for i in range(6):
+            post(server, "/api/install",
+                 {"id": f"cap{i}", "expression": "$100 | fin(time - 9)"})
+        assert len(server.instances) <= 4
+        assert "cap0" not in server.instances
+        # evicted instances' streams end immediately (generation bumped)
+        c = conn(server)
+        c.request("GET", "/api/stream?id=cap5")
+        r = c.getresponse()
+        assert len(r.read(4 * BLOCK)) == 4 * BLOCK  # survivor still live
+        c.close()
+    finally:
+        web_demo.MAX_INSTANCES = old_cap

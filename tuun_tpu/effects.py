@@ -236,6 +236,15 @@ class EffectRunner:
         else:
             raise TypeError(f"unknown effect: {effect!r}")
 
+    def keys_candidate(self, index: int) -> bool:
+        """Whether program `index` evaluates to a keys instrument right
+        now — the evaluation oracle behind the keys-installer pad LEDs
+        (the reference's Program::keys_instrument(), midi_input.rs:267)."""
+        try:
+            return self.evaluation(index).kind == "keys"
+        except Exception:
+            return False
+
     # -- controller sync -------------------------------------------------
 
     def _sync_encoders(self) -> None:

@@ -219,11 +219,16 @@ def _pulsed(color, now, beat_start, beat_duration):
 
 
 def update_launchkey_state(state: A.AppState, status, launchkey,
-                           now: int) -> None:
+                           now: int, keys_candidate=None) -> None:
     """Pushes app state out to the controller: the pad-function color
     for repeat_after_measures, and per-pad colors for the active bank
     (midi_input.rs:100-155).  `now` is the sample clock (the reference
-    uses Instant; musical time here is sample arithmetic)."""
+    uses Instant; musical time here is sample arithmetic).
+
+    `keys_candidate(index) -> bool` answers whether the program can be
+    installed as a keys instrument right now — the reference asks the
+    cached Evaluation (midi_input.rs:267); EffectRunner.keys_candidate
+    is that oracle.  Without one, a text heuristic approximates it."""
     from . import launchkey as lk
     from .ids import WaveformId, MarkId
 
@@ -241,6 +246,8 @@ def update_launchkey_state(state: A.AppState, status, launchkey,
         return
     bank_start = state.bank_start()
     programs = state.programs.programs
+    if keys_candidate is None:
+        keys_candidate = lambda i: _keys_candidate_text(programs[i])
 
     def program_at(index):
         return programs[index] if index < len(programs) else None
@@ -251,10 +258,13 @@ def update_launchkey_state(state: A.AppState, status, launchkey,
         installed = state.keys_program == index
         if state.daw_pad_mode == "keys_installer":
             # Keys installer: top row dark; bottom row shows installable
-            # programs, pulsing the installed one (midi_input.rs:247-290).
+            # programs, pulsing the installed one.  The INSTALLED program
+            # lights regardless of its current text — the installed
+            # function is what's actually playing (midi_input.rs:267-273).
             launchkey.set_daw_top_pad_color(pad, 0, 0, 0)
-            if program is None or program.is_empty() or (
-                    not installed and not _is_keys_candidate(program)):
+            if program is None or (not installed
+                                   and (program.is_empty()
+                                        or not keys_candidate(index))):
                 launchkey.set_daw_bottom_pad_color(pad, 0, 0, 0)
                 continue
             color = _pad_color_for(program)
@@ -262,8 +272,11 @@ def update_launchkey_state(state: A.AppState, status, launchkey,
                 color = _pulsed(color, now, beat_start, beat_duration)
             launchkey.set_daw_bottom_pad_color(pad, *color)
             continue
-        # Clip launcher (midi_input.rs:185-245).
-        if program is None or program.is_empty():
+        # Clip launcher (midi_input.rs:185-245).  Playback marks are
+        # checked BEFORE emptiness: a still-sounding voice pulses its
+        # pad even if the program text was just cleared
+        # (midi_input.rs:200-212 orders it this way).
+        if program is None:
             launchkey.set_daw_top_pad_color(pad, 0, 0, 0)
             launchkey.set_daw_bottom_pad_color(pad, 0, 0, 0)
             continue
@@ -277,7 +290,7 @@ def update_launchkey_state(state: A.AppState, status, launchkey,
             launchkey.set_daw_top_pad_color(
                 pad, *_pulsed((0, lk.U7_MAX, 0), now, beat_start,
                               beat_duration))
-        elif installed:
+        elif installed or program.is_empty():
             launchkey.set_daw_top_pad_color(pad, 0, 0, 0)
         else:
             launchkey.set_daw_top_pad_color(pad, *color)
@@ -287,12 +300,15 @@ def update_launchkey_state(state: A.AppState, status, launchkey,
         elif installed:
             launchkey.set_daw_bottom_pad_color(
                 pad, *_pulsed(color, now, beat_start, beat_duration))
+        elif program.is_empty():
+            launchkey.set_daw_bottom_pad_color(pad, 0, 0, 0)
         else:
             launchkey.set_daw_bottom_pad_color(pad, *color)
 
 
-def _is_keys_candidate(program) -> bool:
-    """Whether the program's text could evaluate to a keys instrument —
-    the reference asks the cached Evaluation (keys_instrument()); the
-    pure-state analogue checks for a function definition."""
-    return program.text.lstrip().startswith("fn")
+def _keys_candidate_text(program) -> bool:
+    """Text-heuristic fallback for keys-installability (used only when
+    no evaluation oracle is supplied): a function definition or a bare
+    identifier reference could both evaluate to a keys instrument."""
+    text = program.text.strip()
+    return text.startswith("fn") or text.replace("_", "").isalnum()

@@ -46,6 +46,12 @@ class _Instance:
         self.session = session
         self.lock = threading.Lock()
         self.generation = 0  # bumped on install/stop to end old streams
+        self.kind = None     # "waveform" | "keys" after install
+
+
+# Sessions kept per element id; the least recently installed is evicted
+# past this (its streams end via the generation bump).
+MAX_INSTANCES = 32
 
 
 class TuunWebServer(ThreadingHTTPServer):
@@ -62,17 +68,30 @@ class TuunWebServer(ThreadingHTTPServer):
         self.instances: Dict[str, _Instance] = {}
         self.instances_lock = threading.Lock()
 
-    def instance(self, iid: str) -> _Instance:
+    def instance(self, iid: str) -> Optional[_Instance]:
+        """An existing instance, or None — only /api/install creates
+        sessions (any other endpoint instantiating a full evaluator +
+        tracker for a probe/typo id would leak them unboundedly)."""
+        with self.instances_lock:
+            return self.instances.get(iid)
+
+    def create_instance(self, iid: str) -> _Instance:
         from ..session import TuunSession
 
         with self.instances_lock:
-            inst = self.instances.get(iid)
+            inst = self.instances.pop(iid, None)
             if inst is None:
                 inst = _Instance(TuunSession(
                     sample_rate=self.sample_rate,
                     block_size=self.block_size,
                     precision=self.precision, jit=self.jit))
-                self.instances[iid] = inst
+            self.instances[iid] = inst  # (re-)append: LRU order
+            while len(self.instances) > MAX_INSTANCES:
+                oldest_id, oldest = next(iter(self.instances.items()))
+                del self.instances[oldest_id]
+                with oldest.lock:
+                    oldest.generation += 1  # end its streams
+                    oldest.session.stop()
             return inst
 
 
@@ -145,10 +164,10 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_error(404)
 
     def _install(self, body: dict):
-        inst = self.server.instance(str(body["id"]))
+        inst = self.server.create_instance(str(body["id"]))
         with inst.lock:
             inst.generation += 1
-            kind = inst.session.install(
+            inst.kind = inst.session.install(
                 body["expression"],
                 sliders=body.get("sliders") or None,
                 opens=tuple(body.get("opens") or ("std",)))
@@ -157,11 +176,19 @@ class _Handler(BaseHTTPRequestHandler):
             sliders = [{"label": c.label, "normalized": n,
                         "value": denormalize_or_zero(c.function, n)}
                        for c, n in zip(s.configs, s.normalized_values)]
-        return self._json({"kind": kind, "sliders": sliders,
+        return self._json({"kind": inst.kind, "sliders": sliders,
                            "sample_rate": self.server.sample_rate})
 
+    def _known(self, body: dict) -> Optional[_Instance]:
+        inst = self.server.instance(str(body.get("id")))
+        if inst is None:
+            self._json({"error": "unknown id (install first)"}, 404)
+        return inst
+
     def _slider(self, body: dict):
-        inst = self.server.instance(str(body["id"]))
+        inst = self._known(body)
+        if inst is None:
+            return None
         with inst.lock:
             inst.session.update_slider_normalized(
                 body["label"], float(body["normalized"]))
@@ -169,7 +196,9 @@ class _Handler(BaseHTTPRequestHandler):
                 {"value": inst.session._last_slider_values[body["label"]]})
 
     def _note(self, body: dict, on: bool):
-        inst = self.server.instance(str(body["id"]))
+        inst = self._known(body)
+        if inst is None:
+            return None
         with inst.lock:
             if on:
                 inst.session.note_on(int(body["key"]),
@@ -179,7 +208,9 @@ class _Handler(BaseHTTPRequestHandler):
         return self._json({"ok": True})
 
     def _stop(self, body: dict):
-        inst = self.server.instance(str(body["id"]))
+        inst = self._known(body)
+        if inst is None:
+            return None
         with inst.lock:
             inst.generation += 1
             inst.session.stop()
@@ -188,6 +219,9 @@ class _Handler(BaseHTTPRequestHandler):
     def _stream(self, query: dict):
         iid = (query.get("id") or [""])[0]
         inst = self.server.instance(iid)
+        if inst is None:
+            self.send_error(404)
+            return
         generation = inst.generation
         self.send_response(200)
         self.send_header("Content-Type", "application/octet-stream")
@@ -200,14 +234,31 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(data)
             self.wfile.write(b"\r\n")
 
+        import numpy as np
+
+        silence = np.zeros(self.server.block_size, "<f4").tobytes()
         try:
             while True:
                 with inst.lock:
                     if inst.generation != generation:
                         break  # superseded by a new install/stop
                     block = inst.session.process()
+                    keys = inst.kind == "keys"
                 if block is None:
-                    break
+                    if not keys:
+                        break
+                    # A keys instrument idles between notes: the stream
+                    # carries silence so it survives note gaps (otherwise
+                    # every release would tear the element down and race
+                    # the next note_on's lazy restart).  Silence is paced
+                    # at realtime HERE — unpaced, the socket buffer fills
+                    # with queued silence and the next note_on sits
+                    # behind seconds of it.
+                    chunk(silence)
+                    import time
+                    time.sleep(self.server.block_size
+                               / self.server.sample_rate)
+                    continue
                 # float32 little-endian mono; one tracker block per chunk.
                 chunk(block.astype("<f4").tobytes())
             chunk(b"")

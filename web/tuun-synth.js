@@ -50,12 +50,14 @@ class TuunFeed extends AudioWorkletProcessor {
 registerProcessor('tuun-feed', TuunFeed);
 `;
 
-let nextId = 1;
-
 class TuunSynth extends HTMLElement {
   constructor() {
     super();
-    this.id_ = `el${nextId++}`;
+    // Random ids: a per-page counter would collide across tabs (two
+    // tabs' "el1" would share one server session and kill each other's
+    // streams via the generation bump).
+    this.id_ = (crypto.randomUUID ? crypto.randomUUID()
+                : `el${Math.random().toString(36).slice(2)}`);
     this.ctx = null;
     this.node = null;
     this.abort = null;
@@ -147,8 +149,13 @@ class TuunSynth extends HTMLElement {
     this.playing = true;
     this.$('.play').textContent = 'Stop';
     if (info.kind === 'keys') {
+      // The stream starts now and carries silence between notes (the
+      // server keeps keys streams alive through idle gaps), so note_on
+      // never races a lazy stream restart — and it runs at the
+      // server's sample rate, not a hardcoded one.
       this.renderKeys();
       this.status('keys instrument installed — click the keys');
+      this.startStream(info.sample_rate);
       return;
     }
     this.$('.keys').style.display = 'none';
@@ -239,23 +246,24 @@ class TuunSynth extends HTMLElement {
     host.innerHTML = '';
     const names = ['C', 'D', 'E', 'F', 'G', 'A', 'B', 'C'];
     const notes = [60, 62, 64, 65, 67, 69, 71, 72];
-    notes.forEach(async (note, i) => {
+    notes.forEach((note, i) => {
       const b = document.createElement('button');
       b.textContent = names[i];
-      b.addEventListener('pointerdown', async () => {
-        if (!this.heldKeys.size) {
-          // Keys render through the same stream; (re)start it lazily.
-          if (!this.abort) this.startStream(
-              this.ctx ? this.ctx.sampleRate : 44100);
-        }
+      const release = async () => {
+        if (!this.heldKeys.delete(note)) return;
+        await this.api('/api/note_off', {id: this.id_, key: note});
+      };
+      b.addEventListener('pointerdown', async (e) => {
+        // Capture the pointer so a drag-off-the-button release still
+        // fires pointerup here (mouse pointers get no implicit capture
+        // — without this a slide-off leaves the note stuck on).
+        b.setPointerCapture(e.pointerId);
         this.heldKeys.add(note);
         await this.api('/api/note_on', {id: this.id_, key: note,
                                         velocity: 100});
       });
-      b.addEventListener('pointerup', async () => {
-        this.heldKeys.delete(note);
-        await this.api('/api/note_off', {id: this.id_, key: note});
-      });
+      b.addEventListener('pointerup', release);
+      b.addEventListener('pointercancel', release);
       host.appendChild(b);
     });
   }
@@ -264,6 +272,11 @@ class TuunSynth extends HTMLElement {
     this.playing = false;
     this.$('.play').textContent = 'Play';
     this.status('');
+    for (const note of [...this.heldKeys]) {
+      this.heldKeys.delete(note);
+      try { await this.api('/api/note_off', {id: this.id_, key: note}); }
+      catch (e) {}
+    }
     try { await this.api('/api/stop', {id: this.id_}); } catch (e) {}
     if (this.abort) { this.abort.abort(); this.abort = null; }
     if (this.node) { this.node.disconnect(); this.node = null; }
