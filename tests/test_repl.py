@@ -252,3 +252,43 @@ def test_stop_one_cancels_only_that_programs_bake(tmp_path, monkeypatch):
     assert r.player.flush_bakes() == 1  # only A1 survives
     assert [str(p.id) for p in r.tracker.pending] == ["program(0)"]
     r.dispatch("quit")
+
+
+def test_midi_command_drives_controller_loop(tmp_path):
+    """`midi` gestures run the full launchkey.rs <-> midi_input.rs loop:
+    device bytes -> driver decode -> classify -> reducer/effects -> LED
+    and display sync back to the (simulated) controller."""
+    r, out, _ = make_repl(tmp_path)
+    r.dispatch("midi connect")
+    assert "launchkey connected" in out.getvalue()
+    # plugin encoder 0 moves the active program's gain slider
+    r.dispatch("midi encoder 0 8")
+    state = r.state
+    assert state.programs.programs[0].sliders.normalized_values[0] == \
+        pytest.approx(0.5 + 8 / 512.0)
+    # the encoder display got the new value
+    device = r._midi_device
+    from tuun_tpu import launchkey as lk
+    d = device.displays[lk.ENCODER_DISPLAY_TARGET_OFFSET]
+    assert d["fields"][0] == "gain"
+    # mixer mode + encoder changes program 1's level
+    r.dispatch("midi mode mixer")
+    assert r.runner.launchkey.encoder_mode == lk.MIXER
+    r.dispatch("midi encoder 1 -4")
+    assert state.programs.programs[1].level_db == pytest.approx(-1.0)
+    # pad-mode cycle into the keys installer; program 3 (an fn) lights
+    r.dispatch("midi pads daw")
+    assert state.daw_pad_mode == "keys_installer"
+    assert device.pad_colors[lk.DAW_PAD_BOTTOM_ROW_OFFSET + 2] != (0, 0, 0)
+    # install keys from pad 2, play a note through the MIDI port
+    r.dispatch("midi pad bottom 2")
+    assert state.keys_program == 2
+    r.dispatch("midi note 60 127")
+    r.dispatch("render 0.2")
+    mix = np.concatenate(r.rendered)
+    assert np.abs(mix).max() > 0.1  # the key is sounding
+    r.dispatch("midi release 60")
+    # function pad cycles repeat_after_measures and recolors itself
+    r.dispatch("midi fn")
+    assert state.repeat_after_measures == 1
+    assert device.function_color == lk.COLOR_YELLOW_GREEN

@@ -120,6 +120,10 @@ class Repl:
             "key CHORD...         send key chords (enter, escape, C-a, "
             "M-f, M-/, C-z...)\n"
             "type TEXT...         insert text at the edit cursor\n"
+            "midi GESTURE...      drive the (simulated) Launchkey: "
+            "encoder I D, mode, pads,\n"
+            "                     pad top|bottom I, nav, fn, note KEY "
+            "[VEL], release KEY, bytes\n"
             "undo N / redo N      undo/redo program N's edits\n"
             "save [FILE]          persist annotations + write source\n"
             "dump N               print program N's optimized waveform IR\n"
@@ -260,6 +264,74 @@ class Repl:
     def cmd_type(self, *words: str):
         self.runner.dispatch(
             *keymap.classify_text(self.state, " ".join(words)))
+
+    def cmd_midi(self, gesture: str = "", *args: str):
+        """Drives the Launchkey controller path: gestures become protocol
+        bytes on the simulated device, decode through the driver, classify
+        into Actions (midi.classify_launchkey), dispatch, and the LED/
+        display sync pushes app state back out — the full
+        midi_input.rs <-> launchkey.rs loop without hardware."""
+        from . import launchkey as lk
+        from . import midi
+        from .tools.midi_probe import FakeLaunchkey
+
+        if self.runner is None:
+            raise TuunError("no file loaded (use: load FILE)")
+        if self.runner.launchkey is None or gesture == "connect":
+            self._midi_device = FakeLaunchkey()
+            self.runner.launchkey = lk.Launchkey(self._midi_device.receive)
+            if gesture in ("connect", ""):
+                self.log("launchkey connected (simulated)")
+                if gesture == "connect":
+                    return
+        device, driver = self._midi_device, self.runner.launchkey
+        port = "daw"
+        if gesture == "encoder":
+            data = device.turn_encoder(int(args[0]), int(args[1]))
+        elif gesture == "mode":
+            data = device.switch_encoder_mode(
+                lk.MIXER if args[0] == "mixer" else lk.PLUGIN)
+        elif gesture == "pads":
+            data = device.switch_pad_mode(
+                lk.PAD_MODE_DAW if args[0] == "daw" else lk.PAD_MODE_OTHER)
+        elif gesture == "pad":
+            data = (device.press_top_pad(int(args[1]))
+                    if args[0] == "top"
+                    else device.press_bottom_pad(int(args[1])))
+        elif gesture == "nav":
+            data = device.press_nav(args[0])
+        elif gesture == "fn":
+            data = device.press_function_pad()
+        elif gesture == "note":
+            port = "midi"
+            data = device.play_key(int(args[0]),
+                                   int(args[1]) if len(args) > 1 else 100)
+        elif gesture == "release":
+            port = "midi"
+            data = device.play_key(int(args[0]), 0)
+        elif gesture == "bytes":
+            port = args[0]
+            data = bytes(int(b, 16) for b in args[1:])
+        else:
+            raise TuunError(
+                "usage: midi connect | encoder I DELTA | mode plugin|mixer"
+                " | pads daw|other | pad top|bottom I | nav next|prev|"
+                "next_bank|prev_bank | fn | note KEY [VEL] | release KEY"
+                " | bytes daw|midi HEX...")
+        event = (driver.feed_daw(data) if port == "daw"
+                 else driver.feed_midi(data))
+        for ev in driver.drain():
+            acts = midi.classify_launchkey(self.state, ev)
+            if acts:
+                self.runner.dispatch(*acts)
+        device.log.clear()
+        midi.update_launchkey_state(
+            self.state, self.tracker.status_snapshot(), driver,
+            now=self.tracker.now,
+            keys_candidate=self.runner.keys_candidate)
+        self.log(f"-> {event}")
+        for line in device.log[-6:]:
+            self.log(line)
         self._show_edit_line()
 
     def _show_edit_line(self):
