@@ -250,3 +250,34 @@ def test_instance_cap_evicts_oldest(server):
         c.close()
     finally:
         web_demo.MAX_INSTANCES = old_cap
+
+
+def test_concurrent_streams_stay_isolated(server):
+    """Three elements streaming simultaneously (the demo page's normal
+    state): each stream must carry its own session's audio — per-instance
+    locks serialize process() but sessions must not cross-talk."""
+    freqs = {"c1": 200, "c2": 300, "c3": 400}
+    for iid, f in freqs.items():
+        post(server, "/api/install",
+             {"id": iid, "expression": f"${f} | fin(time - 4)"})
+    results = {}
+    errors = []
+
+    def reader(iid):
+        try:
+            results[iid] = read_stream(server, iid, SR // 4)
+        except Exception as exc:  # pragma: no cover
+            errors.append((iid, exc))
+
+    threads = [threading.Thread(target=reader, args=(iid,))
+               for iid in freqs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors
+    for iid, f in freqs.items():
+        got = results[iid]
+        expected = np.sin(math.tau * f * np.arange(SR // 4) / SR)
+        np.testing.assert_allclose(got, expected, atol=1e-4,
+                                   err_msg=f"stream {iid} cross-talked")
