@@ -6,6 +6,7 @@ edges, nested everything); random trees cover corners the hand-written
 tests don't."""
 
 import math
+import os
 import random
 
 import numpy as np
@@ -14,6 +15,20 @@ import pytest
 from tuun_tpu import engine, ir, optimizer, oracle
 
 SR = 4
+
+# Soak knob: TUUN_FUZZ_SCALE=10 multiplies every fuzz lane's seed count
+# (seed ranges stay disjoint across lanes; CI default is 1).
+FUZZ_SCALE = max(1, int(os.environ.get("TUUN_FUZZ_SCALE", "1")))
+
+
+def seeds(start, stop, base=1000):
+    """The lane's CI seeds plus FUZZ_SCALE-1 extra banks of the same
+    width, offset by `base` per bank so lanes never collide."""
+    width = stop - start
+    out = list(range(start, stop))
+    for bank in range(1, FUZZ_SCALE):
+        out.extend(range(start + bank * base, start + bank * base + width))
+    return out
 
 
 def random_waveform(rng: random.Random, depth: int) -> ir.Waveform:
@@ -115,7 +130,7 @@ def ill_conditioned(w: ir.Waveform, n: int, seed: int) -> bool:
     return False
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", seeds(0, 40))
 def test_fuzz_engine_vs_oracle(seed):
     rng = random.Random(seed)
     w = random_waveform(rng, depth=3)
@@ -148,7 +163,7 @@ def test_fuzz_engine_vs_oracle(seed):
                 err_msg=f"seed={seed} block={block}\n{form}")
 
 
-@pytest.mark.parametrize("seed", range(40, 56))
+@pytest.mark.parametrize("seed", seeds(40, 56))
 def test_fuzz_native_vs_oracle(seed):
     from tuun_tpu import native
     if not native.native_available():
@@ -167,7 +182,7 @@ def test_fuzz_native_vs_oracle(seed):
                                err_msg=f"seed={seed}\n{w}")
 
 
-@pytest.mark.parametrize("seed", range(56, 72))
+@pytest.mark.parametrize("seed", seeds(56, 72))
 def test_fuzz_reloc_fast_path_vs_oracle(seed):
     """The opt-in relocatable fast path (reloc_fast=True) against the
     oracle, over random trees that happen to be relocatable."""
@@ -198,7 +213,7 @@ def test_fuzz_reloc_fast_path_vs_oracle(seed):
                                err_msg=f"seed={seed}\n{w}")
 
 
-@pytest.mark.parametrize("seed", range(72, 96))
+@pytest.mark.parametrize("seed", seeds(72, 96))
 def test_fuzz_fast_precision_vs_exact(seed):
     """The production (fast) precision path against exact mode on random
     trees. NCO trigger-sign quantization can shift reset edges by one
