@@ -86,6 +86,9 @@ class TuunSynth extends HTMLElement {
         .val { min-width: 70px; text-align: right; font-family: monospace; }
         .status { color: #888; font-size: 12px; margin-top: 6px;
                   white-space: pre-wrap; }
+        canvas.scope { width: 100%; height: 56px; display: none;
+                       background: #111; border-radius: 4px;
+                       margin-top: 8px; }
         .keys { margin-top: 6px; display: none; }
         .keys button { min-width: 34px; }
         .desc { flex: 1; color: #444; }
@@ -101,6 +104,7 @@ class TuunSynth extends HTMLElement {
           <textarea spellcheck="false"></textarea>
           <div class="sliders"></div>
           <div class="keys"></div>
+          <canvas class="scope" width="560" height="56"></canvas>
         </div>
         <div class="status"></div>
       </div>`;
@@ -211,10 +215,39 @@ class TuunSynth extends HTMLElement {
         const f32 = new Float32Array(data.buffer.slice(data.byteOffset,
                                                        data.byteOffset + whole));
         received += whole;
+        this.drawScope(f32);
         if (this.node) this.node.port.postMessage(f32, [f32.buffer]);
       }
     }
     if (this.node) this.node.port.postMessage(null);
+  }
+
+  // Oscilloscope over the latest buffer, clipping drawn red — the
+  // reference renderer's live waveform view (renderer.rs:154-195).
+  drawScope(f32) {
+    const canvas = this.$('canvas.scope');
+    canvas.style.display = 'block';
+    const g = canvas.getContext('2d');
+    const W = canvas.width, H = canvas.height, mid = H / 2;
+    g.fillStyle = '#111';
+    g.fillRect(0, 0, W, H);
+    g.strokeStyle = '#333';
+    g.beginPath(); g.moveTo(0, mid); g.lineTo(W, mid); g.stroke();
+    const n = Math.min(f32.length, 2048);
+    let clipped = false;
+    g.strokeStyle = '#4be34b';
+    g.beginPath();
+    for (let x = 0; x < W; x++) {
+      const v = f32[Math.floor(x / W * n)];
+      if (v > 1 || v < -1) clipped = true;
+      const y = mid - Math.max(-1, Math.min(1, v)) * (mid - 2);
+      if (x === 0) g.moveTo(x, y); else g.lineTo(x, y);
+    }
+    g.stroke();
+    if (clipped) {
+      g.strokeStyle = '#f33';
+      g.strokeRect(0.5, 0.5, W - 1, H - 1);
+    }
   }
 
   renderSliders(sliders) {
