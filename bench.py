@@ -115,8 +115,6 @@ def bench_one(name, w, seconds=8.0, warmup_blocks=2):
     cfg = EngineConfig(SAMPLE_RATE, precision="fast", jit=True)
     voice = CompiledVoice(w, cfg)
     P = voice.params()
-    fn = voice.render_fn(BLOCK, P=P)
-    s = jax.numpy.int32(0)
     audio = WORKLOAD_AUDIO_SECONDS.get(name)
     if audio is None:
         sizes = [BLOCK]  # infinite stream: full blocks only
@@ -126,10 +124,13 @@ def bench_one(name, w, seconds=8.0, warmup_blocks=2):
         while left > 0:
             sizes.append(min(BLOCK, left))
             left -= sizes[-1]
-    ends = {m: jax.numpy.int32(m) for m in set(sizes)}
     per_pass = sum(sizes)
     if audio is None:
-        # Infinite stream: block-by-block with carried state.
+        # Infinite stream: block-by-block with carried state (finite
+        # pieces render through note_fn below and never touch render_fn).
+        fn = voice.render_fn(BLOCK, P=P)
+        s = jax.numpy.int32(0)
+        ends = {m: jax.numpy.int32(m) for m in set(sizes)}
         state = voice.init(P)
         for _ in range(warmup_blocks):
             for m in ends:

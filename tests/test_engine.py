@@ -668,21 +668,28 @@ def test_reconstruct_state_matches_continuous_render():
 
 def test_state_at_uses_reconstruction_for_fast_voices():
     """state_at on a relocatable fast-mode voice must not replay (the
-    closed-form path), and must equal the replay result."""
+    closed-form path), and must equal the replay result.  The second
+    waveform runs an alt() whose FINITE trigger ends mid-history
+    (regression: reconstruct_state advanced the branch cursors past the
+    trigger's end, but CAlt.render never advances branches past vt)."""
     from tuun_tpu.engine import CompiledVoice
-    w = _std_waveform("sawtooth(10) * 0.5 + $7")
-    voice = CompiledVoice(w, EngineConfig(100, "fast", jit=True))
-    P = voice.params()
-    st_fast = voice.state_at(P, 333)
-    # Force the replay path for comparison.
-    reloc_flag = voice.relocatable
-    voice.relocatable = False
-    st_replay = voice.state_at(P, 333, n=64)
-    voice.relocatable = reloc_flag
-    for a, b in zip(jax.tree_util.tree_leaves(st_fast),
-                    jax.tree_util.tree_leaves(st_replay)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   err_msg="state leaf mismatch")
+    for text in ("sawtooth(10) * 0.5 + $7",
+                 "alt($3 | fin(time - 2), time, 0 - time)"):
+        w = _std_waveform(text)
+        voice = CompiledVoice(w, EngineConfig(100, "fast", jit=True))
+        assert voice.relocatable, text
+        P = voice.params()
+        st_fast = voice.state_at(P, 333)
+        # Force the replay path for comparison.
+        reloc_flag = voice.relocatable
+        voice.relocatable = False
+        st_replay = voice.state_at(P, 333, n=64)
+        voice.relocatable = reloc_flag
+        for a, b in zip(jax.tree_util.tree_leaves(st_fast),
+                        jax.tree_util.tree_leaves(st_replay)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"state leaf mismatch {text}")
 
 
 def test_note_fn_matches_block_by_block():

@@ -531,6 +531,30 @@ def test_lookahead_window_interrupt_modify_exact():
     np.testing.assert_allclose(outs[1], outs[0], atol=1e-6)
 
 
+def test_lookahead_window_interrupt_survives_cache_eviction():
+    """If the per-block fused executable disappears mid-window (LRU
+    churn), the interrupt replay must fall back to the per-voice path
+    instead of silently skipping the served blocks — a skipped replay
+    freezes every voice's state while `now` advances, permanently
+    desyncing the stream."""
+    from tuun_tpu import sliders as sliders_mod
+    blocks_before, blocks_after = 6, 10
+    ramp = sliders_mod.make_ramp(1.0, 0.0, 0.16)
+    outs = []
+    for fuse in (False, True):
+        t = _window_tracker(fuse=fuse, lookahead=4 if fuse else 1)
+        mix = [np.asarray(t.render_block()[0])
+               for _ in range(blocks_before)]
+        assert (t._window is not None) == fuse
+        if fuse:
+            t._fused_cache.clear()  # simulate eviction mid-window
+        t.modify(WaveformId.program(0), MarkId.AMPLITUDE, ramp)
+        mix += [np.asarray(t.render_block()[0])
+                for _ in range(blocks_after)]
+        outs.append(np.concatenate(mix))
+    np.testing.assert_allclose(outs[1], outs[0], atol=1e-6)
+
+
 def test_lookahead_window_respects_pending_starts():
     """A pending voice starting inside the would-be window keeps the
     per-block path (no window may cross a promotion boundary)."""

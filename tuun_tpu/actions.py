@@ -541,6 +541,11 @@ class ESetEncoderDisplay:
     index: int
     name: str
     value: str
+    # Encoder mode this push is valid for (launchkey.PLUGIN / MIXER);
+    # None = unconditional.  The runner drops pushes whose mode doesn't
+    # match the controller mirror, so a Mixer-mode level change can't
+    # clobber a Plugin-mode slider strip (and vice versa).
+    mode: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -1072,11 +1077,14 @@ def _apply_slider(state: AppState, program_index: int, slider_index: int,
     # active key waveform too.
     if state.keys_program == program_index:
         effects.append(EUpdateActiveKeySliders(config.label, value))
-    # In Plugin mode the 8 encoders map 1:1 to the active program's
+    # In Plugin mode the 8 encoders map 1:1 to the ACTIVE program's
     # sliders, so the slider index IS the encoder index
-    # (actions.rs:1165-1173).
-    effects.append(ESetEncoderDisplay(slider_index, config.label,
-                                      f"{value:.3g}"))
+    # (actions.rs:1165-1173) — but only when this program is the active
+    # one (the REPL's `slider NAME ...` can target any program).
+    if program_index == state.active_program_index:
+        from . import launchkey as LK
+        effects.append(ESetEncoderDisplay(slider_index, config.label,
+                                          f"{value:.3g}", mode=LK.PLUGIN))
     effects.append(EShowMessage(
         f"{config.label}({slider_index}) = {value:.3g}"))
     return effects
@@ -1096,10 +1104,16 @@ def _apply_level_db(state: AppState, program_index: int,
         ir.Const(amplitude))]
     if state.keys_program == program_index:
         effects.append(EModifyActiveKeysAmplitude(amplitude))
-    # Mixer-mode encoders map bank-relative (actions.rs:1204-1211).
+    # Mixer-mode encoders map bank-relative (actions.rs:1204-1211) —
+    # push only for programs inside the ACTIVE bank, or a level change
+    # on another bank overwrites an unrelated program's strip.
     from .programs import PROGRAMS_PER_BANK
-    effects.append(ESetEncoderDisplay(program_index % PROGRAMS_PER_BANK,
-                                      "level", f"{level_db:.3g} dB"))
+    if state.bank_start() <= program_index \
+            < state.bank_start() + PROGRAMS_PER_BANK:
+        from . import launchkey as LK
+        effects.append(ESetEncoderDisplay(
+            program_index % PROGRAMS_PER_BANK, "level",
+            f"{level_db:.3g} dB", mode=LK.MIXER))
     effects.append(EShowMessage(
         f"level({state.programs.display_name(program_index)}) = "
         f"{level_db:.3g} dB"))

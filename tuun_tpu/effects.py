@@ -207,7 +207,10 @@ class EffectRunner:
                 lk.encoder_mode = effect.mode
                 # The device resets the relative-output feature on every
                 # encoder-mode switch; re-assert it, then re-sync the
-                # displays for the new mode (effects.rs:294-305).
+                # displays for the new mode (effects.rs:294-305).  A
+                # same-mode repeat is a no-op (effects.rs:295-297) —
+                # real hardware emits no CC for selecting the mode it is
+                # already in, so the feature was not dropped.
                 lk.set_encoder_relative_output()
                 self._sync_encoders()
         elif isinstance(effect, A.ESetLaunchkeyPadMode):
@@ -219,8 +222,10 @@ class EffectRunner:
         elif isinstance(effect, A.ESyncEncoders):
             self._sync_encoders()
         elif isinstance(effect, A.ESetEncoderDisplay):
-            if self.launchkey is not None:
-                self.launchkey.set_encoder_display(
+            lk = self.launchkey
+            if lk is not None and (effect.mode is None
+                                   or effect.mode == lk.encoder_mode):
+                lk.set_encoder_display(
                     effect.index, effect.name, effect.value)
         elif isinstance(effect, A.EShowMessage):
             self._show(effect.message)
@@ -279,6 +284,10 @@ class EffectRunner:
             if index < len(ps.programs):
                 lk.set_encoder_display(
                     i, "level", f"{ps.programs[index].level_db:.3g} dB")
+            else:
+                # Blank the trailing strips, or a Plugin->Mixer switch in
+                # a short bank leaves the old mode's slider text showing.
+                lk.set_encoder_display(i, "", "")
 
     # -- notes / sliders -----------------------------------------------
 

@@ -1756,10 +1756,13 @@ def reconstruct_state(node: "Node", P, lits, r: int, adv: int = 0):
     if isinstance(node, CAlt):
         lt = _reloc_len(node.trigger, P, lits)
         rb = r if lt is None else min(r, lt)
-        adv_b = (r - rb) + adv
+        # Branches render only to the trigger's valid end and are NEVER
+        # advanced past it by CAlt.render (unlike CFin, which skips its
+        # truncated inner forward) — so like CBinary's short operand they
+        # get the plain advance region, not (r - rb) + adv.
         return (reconstruct_state(node.trigger, P, lits, r, adv),
-                reconstruct_state(node.pos, P, lits, rb, adv_b),
-                reconstruct_state(node.neg, P, lits, rb, adv_b))
+                reconstruct_state(node.pos, P, lits, rb, adv),
+                reconstruct_state(node.neg, P, lits, rb, adv))
     if isinstance(node, CReset):
         if not node.analytic or node.inner_reloc is None:
             raise FastStateUnsupported("non-analytic reset")

@@ -264,6 +264,7 @@ class Repl:
     def cmd_type(self, *words: str):
         self.runner.dispatch(
             *keymap.classify_text(self.state, " ".join(words)))
+        self._show_edit_line()
 
     def cmd_midi(self, gesture: str = "", *args: str):
         """Drives the Launchkey controller path: gestures become protocol
@@ -282,8 +283,7 @@ class Repl:
             self.runner.launchkey = lk.Launchkey(self._midi_device.receive)
             if gesture in ("connect", ""):
                 self.log("launchkey connected (simulated)")
-                if gesture == "connect":
-                    return
+                return
         device, driver = self._midi_device, self.runner.launchkey
         port = "daw"
         if gesture == "encoder":

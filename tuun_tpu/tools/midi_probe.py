@@ -120,8 +120,13 @@ class FakeLaunchkey:
 
     def switch_encoder_mode(self, mode: str) -> bytes:
         """The encoder-mode button: CC 30 on channel 7, value 1=Mixer
-        2=Plugin — and the device drops the relative-output feature,
-        which the driver must re-assert (launchkey.rs:264-271)."""
+        2=Plugin — and the device drops the relative-output feature on a
+        mode CHANGE, which the driver must re-assert
+        (launchkey.rs:264-271).  Selecting the already-active mode emits
+        no CC and resets nothing (the runner's same-mode no-op,
+        effects.rs:295-297, depends on this hardware behavior)."""
+        if mode == self.encoder_mode:
+            return b""
         self.encoder_mode = mode
         self.encoder_relative = False
         value = 1 if mode == lk.MIXER else 2

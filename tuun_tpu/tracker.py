@@ -910,7 +910,13 @@ class Tracker:
         import jax
 
         ent = self._fused_cache.get(cache_key)
-        if ent is None:
+        if ent is not None:
+            # True LRU: refresh recency on every hit, so the entry being
+            # used every block can never become the eviction victim while
+            # it is live (the window-interrupt replay depends on the
+            # per-block entry surviving the window's lifetime).
+            self._fused_cache[cache_key] = self._fused_cache.pop(cache_key)
+        else:
             # LRU bound like the sibling caches (_scalar_cache, _pack_jit):
             # a long-lived session cycling voice-set shapes would otherwise
             # accumulate one compiled XLA program per combination forever.
@@ -938,7 +944,12 @@ class Tracker:
             if self.fuse_blocking:
                 work()
             else:
-                threading.Thread(target=work, daemon=True).start()
+                from . import _threads
+                t = threading.Thread(target=work, daemon=True)
+                # Joined at interpreter shutdown: a compile thread torn
+                # down inside XLA aborts the whole process.
+                _threads.track_thread(t)
+                t.start()
         return ent["fn"]
 
     def _fused_fn(self, key, n: int, args) -> Optional[Any]:
@@ -988,6 +999,25 @@ class Tracker:
             g.bstate = st2
             g._pending.append((val, caps, lv, n))
         return mix
+
+    def _render_all_pervoice(self, n: int, block_start: int, defer: bool):
+        """Renders the whole set voice-by-voice (the un-fused path; also
+        the interrupt-replay fallback when a fused executable is not
+        available).  Bit-identical states to the fused step — fusion only
+        batches the same per-voice render calls into one dispatch."""
+        acc = None
+        for voice in self._singles:
+            s = max(voice.start - block_start, 0)
+            y = self._render_voice(voice, n, s, defer=defer)
+            acc = y if acc is None else acc + y
+        for group in self._groups:
+            starts = [max(v.start - block_start, 0)
+                      for v in group.voices]
+            y_sum, v_arr, caps, lv = group.render(
+                n, starts, n, levels=self.report_levels)
+            group._pending.append((v_arr, caps, lv, n))
+            acc = y_sum if acc is None else acc + y_sum
+        return acc
 
     # -- lookahead windows ---------------------------------------------
     #
@@ -1079,10 +1109,12 @@ class Tracker:
         if any(getattr(m.compiled.root, "has_capture", True)
                for m in members):
             return None
-        # The per-block fused fn must be live for interrupt replays.
+        # The per-block fused fn must be live for interrupt replays
+        # (refresh its LRU slot: it must outlive the window).
         fent = self._fused_cache.get(key)
         if fent is None or fent.get("fn") is None:
             return None
+        self._fused_cache[key] = self._fused_cache.pop(key)
         args: List = []
         for v in self._singles:
             args += [v.params, v.state]
@@ -1148,7 +1180,13 @@ class Tracker:
         self._since_sync += w["k"]
         n = self.block_size
         for j in range(w["k"]):
-            self._render_all_fused(w["key"], n, w["start"] + j * n, True)
+            bs = w["start"] + j * n
+            if self._render_all_fused(w["key"], n, bs, True) is None:
+                # The per-block executable vanished (cache churn mid-
+                # window); a skipped replay block would silently freeze
+                # every voice's state while `now` advances, so replay
+                # through the always-available per-voice path instead.
+                self._render_all_pervoice(n, bs, True)
 
     def render_block(self) -> Tuple[np.ndarray, Status]:
         """Renders the next block of `block_size` samples (the audio
@@ -1213,17 +1251,7 @@ class Tracker:
                                              defer)
                 fused = acc is not None  # None: still compiling
             if not served and not fused:
-                for voice in self._singles:
-                    s = max(voice.start - block_start, 0)
-                    y = self._render_voice(voice, n, s, defer=defer)
-                    acc = y if acc is None else acc + y
-                for group in self._groups:
-                    starts = [max(v.start - block_start, 0)
-                              for v in group.voices]
-                    y_sum, v_arr, caps, lv = group.render(
-                        n, starts, n, levels=self.report_levels)
-                    group._pending.append((v_arr, caps, lv, n))
-                    acc = y_sum if acc is None else acc + y_sum
+                acc = self._render_all_pervoice(n, block_start, defer)
         # Exact retirement: voices with a known total length finish the
         # moment their final block has been rendered — no device fetch.
         for voice in self.active:
@@ -1395,8 +1423,20 @@ class Tracker:
                         data = None
                     self._fetched_q.put((data, plan))
 
+            from . import _threads
             self._fetch_thread = threading.Thread(target=work, daemon=True)
+            # close() must run before interpreter teardown: the worker's
+            # np.asarray is a device fetch (C++), unsafe to kill mid-call.
+            _threads.track_closer(self)
             self._fetch_thread.start()
+
+    def close(self) -> None:
+        """Stops the background fetch worker (idempotent; the tracker
+        remains usable — the worker respawns on demand)."""
+        t = getattr(self, "_fetch_thread", None)
+        if t is not None and t.is_alive():
+            self._fetch_q.put(None)
+            t.join()
 
     def _apply_fetched(self, block: bool = False) -> None:
         """Applies completed background fetches (host-state mutation on

@@ -159,7 +159,13 @@ class TuunSynth extends HTMLElement {
       // server's sample rate, not a hardcoded one.
       this.renderKeys();
       this.status('keys instrument installed — click the keys');
-      this.startStream(info.sample_rate);
+      // Deliberately not awaited (notes must not wait on the stream
+      // handshake) — but a failure here would otherwise be an unhandled
+      // rejection with the element stuck on 'Stop', so surface it.
+      this.startStream(info.sample_rate).catch((e) => {
+        this.status(`error: ${e.message}`);
+        this.stop();
+      });
       return;
     }
     this.$('.keys').style.display = 'none';
