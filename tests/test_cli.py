@@ -104,3 +104,22 @@ def test_scope_tool_renders_png(tmp_path):
     out = tmp_path / "scope.png"
     rc = scope.main([str(out), "--wav", str(wav)])
     assert rc == 0 and out.stat().st_size > 1000
+
+
+def test_subprocess_exit_clean_with_inflight_compiles(tmp_path):
+    """A render that finishes before its background fused-step compile
+    must still exit 0: daemon worker threads torn down inside XLA abort
+    the interpreter ("FATAL: exception not rethrown") — regression for
+    the shutdown registry in tuun_tpu/_threads.py.  Runs the real CLI in
+    a subprocess (jitted, so the async compile path engages)."""
+    import subprocess
+    import sys
+    out = tmp_path / "out.wav"
+    proc = subprocess.run(
+        [sys.executable, "-m", "tuun_tpu", "--expr",
+         "($440 | fin(time - 1)) * 0.5", "--platform", "cpu",
+         "--render-out", str(out), "--quiet"],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "terminate called" not in proc.stderr
+    assert out.exists()

@@ -165,9 +165,11 @@ class Player:
 
     def _ensure_worker(self) -> None:
         if self._bake_thread is None or not self._bake_thread.is_alive():
+            from . import _threads
             self._bake_in = queue.Queue()
             self._bake_thread = threading.Thread(
                 target=self._bake_worker, daemon=True)
+            _threads.track_closer(self)  # close() before interpreter exit
             self._bake_thread.start()
 
     def _bake_worker(self) -> None:
@@ -234,9 +236,11 @@ class Player:
         return self.pump()
 
     def close(self) -> None:
+        # Untimed join: a bake worker torn down inside an XLA compile at
+        # interpreter exit aborts the process, and bakes always finish.
         if self._bake_thread is not None and self._bake_thread.is_alive():
             self._bake_in.put(None)
-            self._bake_thread.join(timeout=5)
+            self._bake_thread.join()
 
     def play_note(self, key: int, w: ir.Waveform, level_db: float = 0.0
                   ) -> None:
