@@ -81,3 +81,23 @@ def test_corpus_render_diff_subset():
     report = check_files(files, render_samples=4096)
     assert not report.failed, report.failed
     assert len(report.ok) >= 5
+
+
+def test_examples_programs_all_play(tmp_path):
+    """Every shipped examples/*.tuun file must drive the real CLI to a
+    clean exit: each annotated program evaluates and renders (the corpus
+    lane covers the reference docs; this covers OUR example programs —
+    regression for song.tuun's `| fin(t) * 0.5` precedence bug, which
+    multiplied the curried fin builtin by a float)."""
+    from tuun_tpu import cli
+    examples = sorted((Path(__file__).resolve().parent.parent
+                       / "examples").glob("*.tuun"))
+    assert len(examples) >= 3
+    for f in examples:
+        out = tmp_path / (f.stem + ".wav")
+        rc = cli.main([str(f), "--platform", "cpu", "--no-jit",
+                       "--precision", "exact", "--sample_rate", "100",
+                       "--buffer_size", "64", "--duration", "2",
+                       "--render-out", str(out), "--quiet"])
+        assert rc == 0, f"{f.name} failed"
+        assert out.exists(), f.name
