@@ -472,8 +472,13 @@ def main():
               f"{results['streaming_tracker_4v'] / SAMPLE_RATE:.0f}x "
               f"headroom, 0 deadline misses", file=sys.stderr)
     else:
-        results["streaming_tracker_4v"] = None
-        print(f"# streaming gate FAILED: runs="
+        # A gate failure must SHOW in the headline metric, not vanish
+        # from the geomean: deadline misses mean the realtime contract
+        # failed, so the lane scores 1x realtime (the contract boundary);
+        # with no completed run at all it scores the same.  Throughput
+        # from missed-deadline runs still prints above for diagnosis.
+        results["streaming_tracker_4v"] = float(SAMPLE_RATE)
+        print(f"# streaming gate FAILED (lane scored 1x realtime): runs="
               f"{[(round(s / SAMPLE_RATE), m) for s, m in streaming_runs]}",
               file=sys.stderr)
 

@@ -102,6 +102,31 @@ def test_error_paths(tmp_path):
     assert "splice failed" in out.getvalue()
 
 
+def test_malformed_args_do_not_crash_session(tmp_path):
+    """Malformed command arguments are usage errors, never uncaught
+    exceptions that tear down the live session (ValueError/IndexError/
+    KeyError from argument parsing must be trapped by dispatch)."""
+    r, out, _ = make_repl(tmp_path)
+    r.dispatch("midi connect")
+    for line in ("midi encoder",        # IndexError: missing args
+                 "midi encoder a b",    # ValueError: non-numeric
+                 "midi nav sideways",   # KeyError: unknown direction
+                 "view abc",            # ValueError: non-numeric seconds
+                 "level A1 loud"):      # ValueError: non-numeric dB
+        before = out.getvalue()
+        r.dispatch(line)
+        assert r.running, line
+        assert "usage error" in out.getvalue()[len(before):], line
+    r.dispatch("keys A3")
+    r.dispatch("on notakey")  # ValueError: non-numeric key
+    assert r.running
+    assert "usage error" in out.getvalue()
+    # The session still works after every malformed command.
+    r.dispatch("play A2")
+    r.dispatch("render 0.2")
+    assert r.rendered
+
+
 def test_undo_redo(tmp_path):
     r, out, _ = make_repl(tmp_path)
     r.dispatch("edit A2 0.25 | fin(time - 0.5)")

@@ -28,6 +28,13 @@ _lock = threading.Lock()
 _registered = False
 
 
+# Longest wait for any one worker at interpreter exit.  Compiles through
+# the device tunnel normally finish in seconds; a worker still alive
+# after this is wedged on a dead link, and hanging exit forever is worse
+# than the (unlikely) teardown abort the join exists to prevent.
+SHUTDOWN_JOIN_SECONDS = 60.0
+
+
 def _shutdown() -> None:
     for obj in list(_closers):
         try:
@@ -36,7 +43,13 @@ def _shutdown() -> None:
             pass
     for t in list(_oneshot):
         if t.is_alive():
-            t.join()
+            t.join(timeout=SHUTDOWN_JOIN_SECONDS)
+            if t.is_alive():  # pragma: no cover - wedged native call
+                import sys
+
+                print(f"tuun_tpu: worker {t.name} still running after "
+                      f"{SHUTDOWN_JOIN_SECONDS:.0f}s at exit; abandoning",
+                      file=sys.stderr)
 
 
 def _ensure_registered() -> None:

@@ -236,11 +236,17 @@ class Player:
         return self.pump()
 
     def close(self) -> None:
-        # Untimed join: a bake worker torn down inside an XLA compile at
-        # interpreter exit aborts the process, and bakes always finish.
+        # Bounded join: a bake worker torn down inside an XLA compile at
+        # interpreter exit aborts the process, so wait for it — but a
+        # worker wedged on a dead device link must not hang exit forever.
         if self._bake_thread is not None and self._bake_thread.is_alive():
+            from . import _threads
             self._bake_in.put(None)
-            self._bake_thread.join()
+            self._bake_thread.join(timeout=_threads.SHUTDOWN_JOIN_SECONDS)
+            if self._bake_thread.is_alive():  # pragma: no cover - wedged
+                import sys
+                print("tuun_tpu: bake worker still running at close; "
+                      "abandoning", file=sys.stderr)
 
     def play_note(self, key: int, w: ir.Waveform, level_db: float = 0.0
                   ) -> None:

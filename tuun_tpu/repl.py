@@ -88,6 +88,11 @@ class Repl:
             self.log(f"error: {e}")
         except TypeError as e:
             self.log(f"usage error: {e}")
+        except (ValueError, IndexError, KeyError) as e:
+            # Malformed arguments (non-numeric ints, missing operands,
+            # unknown gesture names) must not tear down the live session.
+            self.log(f"usage error: {type(e).__name__}: {e} "
+                     f"(see 'help' for {cmd} usage)")
         if self.runner is not None and self.runner.state.should_exit:
             self.cmd_quit()
 
@@ -430,12 +435,14 @@ class Repl:
         chunks: List[np.ndarray] = []
         status = None
         painted_lines = 0
+        painted_upto = 0  # chunks[:painted_upto] already shown
         for i in range(n_blocks):
             y, status = self.tracker.render_block()
             chunks.append(y)
             if (i + 1) % frame_every and i != n_blocks - 1:
                 continue
-            window = np.concatenate(chunks[-frame_every:])
+            window = np.concatenate(chunks[painted_upto:])
+            painted_upto = len(chunks)
             levels = [(v.id, v.level_rms, v.level_peak)
                       for v in self.tracker.active]
             frame = tui.render_frame(

@@ -102,6 +102,30 @@ def _voice_total_length(w: ir.Waveform, sample_rate: int) -> Optional[int]:
     return None if ln >= cap else int(ln)
 
 
+# Mark-id sets memoized by waveform object identity: a slider fan-out
+# calls modify() once per active voice on the latency-sensitive command
+# path, and the no-op guard must not re-walk each voice's whole IR tree
+# per call.  Entries hold a strong reference to the waveform so the id()
+# key stays valid for the entry's lifetime; the dict is LRU-bounded.
+_MARK_IDS_CACHE: Dict[int, Tuple[ir.Waveform, frozenset]] = {}
+_MARK_IDS_CACHE_MAX = 512
+
+
+def _mark_ids(w: ir.Waveform) -> frozenset:
+    """All Marked ids anywhere in `w` (including Fin-length and filter-
+    coefficient subtrees, which collect_marks deliberately skips for
+    Status parity but which ARE valid Modify targets)."""
+    key = id(w)
+    hit = _MARK_IDS_CACHE.get(key)
+    if hit is not None and hit[0] is w:
+        return hit[1]
+    ids = frozenset(x.id for x in w.walk() if isinstance(x, ir.Marked))
+    if len(_MARK_IDS_CACHE) >= _MARK_IDS_CACHE_MAX:
+        _MARK_IDS_CACHE.pop(next(iter(_MARK_IDS_CACHE)))
+    _MARK_IDS_CACHE[key] = (w, ids)
+    return ids
+
+
 def collect_marks(w: ir.Waveform, sample_rate: int, waveform_id,
                   start: int) -> List[Mark]:
     """Walks the IR collecting Marked spans (port of process_marked)."""
@@ -637,8 +661,7 @@ class Tracker:
         exact retirement lost — for a change that changed nothing."""
 
         def has_mark(w):
-            return any(isinstance(x, ir.Marked) and x.id == mark_id
-                       for x in w.walk())
+            return mark_id in _mark_ids(w)
 
         if not any((v.id == wid and has_mark(v.waveform))
                    for v in self.active) and \
@@ -1435,8 +1458,9 @@ class Tracker:
         remains usable — the worker respawns on demand)."""
         t = getattr(self, "_fetch_thread", None)
         if t is not None and t.is_alive():
+            from . import _threads
             self._fetch_q.put(None)
-            t.join()
+            t.join(timeout=_threads.SHUTDOWN_JOIN_SECONDS)
 
     def _apply_fetched(self, block: bool = False) -> None:
         """Applies completed background fetches (host-state mutation on
