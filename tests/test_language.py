@@ -261,10 +261,6 @@ def test_envelopes():
 
 
 def test_pm_synth_module():
-    out = eval_str("open_pm", sample_rate=100)  # placeholder below
-
-
-def test_pm_synth_module():
     e = Evaluator(100, 90, STDLIB)
     bindings, errors = parser.parse_module(
         "open std; open pm_synth; out = pm_brass(220, 0.5);")
