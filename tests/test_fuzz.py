@@ -12,7 +12,7 @@ import random
 import numpy as np
 import pytest
 
-from tuun_tpu import engine, ir, optimizer, oracle
+from tuun_tpu import engine, ir, optimizer, oracle, parser
 
 SR = 4
 
@@ -240,6 +240,75 @@ def test_fuzz_fast_precision_vs_exact(seed):
     assert float(np.mean(err > 0.05 * scale)) < 0.1, (
         f"seed={seed} large-error fraction {np.mean(err > 0.05*scale):.2f}"
         f"\n{w}")
+
+
+def random_source(rng: random.Random, depth: int) -> str:
+    """Random grammatical Tuun source text spanning every precedence
+    level, unary op, sugar form, and binding construct of the grammar
+    (parser.rs precedence `\\` < `|` < relational < `+ - &` < `* / ~*`
+    < application < unary; chord/sequence sugar; named args)."""
+    atoms = ["1", "2.5", "0.25", "440", "x", "y", "foo", "bar2",
+             "true", "false", '"s"']
+    if depth <= 0:
+        return rng.choice(atoms)
+    sub = lambda: random_source(rng, depth - 1)
+    k = rng.randrange(14)
+    if k == 0:
+        return f"({sub()})"
+    if k == 1:
+        return f"{sub()} {rng.choice(['+', '-', '*', '/', '~*', '&'])} " \
+               f"{sub()}"
+    if k == 2:
+        return f"{sub()} " \
+               f"{rng.choice(['==', '!=', '<=', '>=', '<', '>'])} {sub()}"
+    if k == 3:
+        return rng.choice(list("!@$%-?")) + \
+            rng.choice(["5", "x", f"({sub()})"])
+    if k == 4:
+        return f"if {sub()} then {sub()} else {sub()}"
+    if k == 5:
+        return f"let v{depth} = {sub()} in {sub()}"
+    if k == 6:
+        params = ", ".join(f"p{i}" for i in range(rng.randint(1, 3)))
+        return f"fn({params}) => {sub()}"
+    if k == 7:
+        args = ", ".join(sub() for _ in range(rng.randint(1, 3)))
+        return f"f({args})"
+    if k == 8:
+        return f"f({sub()}, y = {sub()})"
+    if k == 9:
+        return "[" + ", ".join(sub()
+                               for _ in range(rng.randint(0, 3))) + "]"
+    if k == 10:
+        return f"({sub()}, {sub()})"
+    if k == 11:
+        return f"{sub()} | {sub()}"
+    if k == 12:
+        return f"{sub()} \\ {sub()}"
+    # Sequence sugar parenthesized: `<[a]> != b` is a genuine grammar
+    # quirk SHARED with the reference (its relational parser eats the
+    # closing `>` and a bare unary op parses as a variable, parser.rs
+    # parse_identifier), so bare sequences only compose safely in
+    # contexts like `| f` — which the corpus tests cover.
+    return rng.choice([f"{{[{sub()}, {sub()}]}}",
+                       f"(<[{sub()}, {sub()}]>)"])
+
+
+@pytest.mark.parametrize("seed", seeds(96, 136))
+def test_fuzz_parser_printer_round_trip(seed):
+    """The printer must be a parser fixed point on arbitrary grammatical
+    input: print(parse(s)) re-parses cleanly and reprints verbatim (the
+    reference's assert_round_trip property, parser.rs:1156-1174, over a
+    generated corpus instead of hand-picked strings)."""
+    from tuun_tpu.expr import format_expr
+
+    rng = random.Random(seed)
+    src = random_source(rng, depth=4)
+    e1 = parser.parse_program(src)
+    p1 = format_expr(e1)
+    e2 = parser.parse_program(p1)  # must parse without errors
+    p2 = format_expr(e2)
+    assert p1 == p2, f"seed={seed}\nsrc={src!r}\np1={p1!r}\np2={p2!r}"
 
 
 def test_tracker_schedule_fuzz_across_configs():

@@ -177,6 +177,24 @@ def test_precedence():
     assert s == "$440 * 2"
 
 
+def test_printer_regressions_from_fuzz():
+    # Unary operands are grammatically primitives: an application operand
+    # must keep its parens or `%f(x)` re-parses as `(%f)(x)`.
+    assert_round_trip("%(f(1))", "%(f(1))")
+    assert_round_trip("-({[1, 1]})", "-(__chord([1, 1]))")
+    # `let` inside an if branch: the parser must not eat the whitespace
+    # before `else` (parse_let used to consume trailing trivia).
+    assert_round_trip("if x then let v = 1 in v else 3")
+    assert_round_trip("if x then let v = 1 in v != 2 else 3")
+    # Open-ended constructs as the LHS of `\` need parens even at equal
+    # precedence — printed bare, the body swallows `\ rhs` on re-parse.
+    assert_round_trip("(let v = false in foo) \\ [y]",
+                      "(let v = false in foo) \\ [y]")
+    assert_round_trip("(fn(p) => p) \\ x", "(fn(p) => p) \\ x")
+    # `|` is left-associative: a pipe-shaped FUNCTION operand keeps parens.
+    assert_round_trip("?x | ((false, true) | g)")
+
+
 def test_chord_and_sequence_sugar():
     e = parser.parse_program("{[1, 2]}")
     assert format_expr(e.function) == "__chord"

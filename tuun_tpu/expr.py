@@ -439,16 +439,40 @@ def _fmt(e: Expr) -> str:
             op = e.function.name
             if len(e.positional) == 2 and op in _BINOP_PREC:
                 prec = _BINOP_PREC[op]
-                lhs = _paren(e.positional[0], prec)
+                # An open-ended construct (let/fn/if swallows everything
+                # to its right when re-parsed) must be parenthesized as
+                # a LHS even at equal precedence: `(let v = b in c) \ d`
+                # printed bare re-parses with `\ d` inside the let body.
+                # (At strictly-higher parent precedence _paren already
+                # parenthesizes it, and same-op chains are right-closed
+                # by the strict rhs below.)
+                lhs_e = e.positional[0]
+                open_ended = isinstance(lhs_e, (EIf, EFunction)) or (
+                    isinstance(lhs_e, EApply)
+                    and _as_let_binding(lhs_e) is not None)
+                lhs = _paren(lhs_e, prec, strict=open_ended)
                 rhs = _paren(e.positional[1], prec, strict=True)
                 return f"{lhs} {op} {rhs}"
             if len(e.positional) == 1 and op in _UNARY_OPS:
-                return f"{op}{_paren(e.positional[0], P_UNARY, strict=True)}"
+                # A unary operand is grammatically a PRIMITIVE (the
+                # reference's parse_unary_application takes
+                # parse_primitive): an application operand must be
+                # parenthesized or `%(f(x))` reprints as `%f(x)`, which
+                # re-parses as `(%f)(x)`.
+                operand = e.positional[0]
+                p = expr_precedence(operand)
+                s = _fmt(operand)
+                if p != P_ATOM and p != P_UNARY:
+                    s = f"({s})"
+                return f"{op}{s}"
         # single-argument application of an application prints as a pipe
         if len(e.positional) == 1 and not e.named and \
                 isinstance(e.function, EApply):
             arg = _paren(e.positional[0], P_REVERSE_APP)
-            fn = _paren(e.function, P_REVERSE_APP, strict=False)
+            # `|` parses left-associative, so a pipe-shaped FUNCTION
+            # operand needs parens: `?x | ((a, b) | f)` printed bare
+            # re-parses as `(?x | (a, b)) | f`.
+            fn = _paren(e.function, P_REVERSE_APP, strict=True)
             return f"{arg} | {fn}"
         fn = _paren(e.function, P_APPLICATION)
         args = [_fmt(a) for a in e.positional]

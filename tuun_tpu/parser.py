@@ -319,8 +319,11 @@ class Parser:
         self.expect(lambda: self.keyword("in"), "expected 'in'")
         self.trivia1()
         self.trivia0()
+        # No trailing-trivia consumption: `let` is a primitive, and a
+        # caller like parse_if needs the whitespace before its own
+        # following keyword (`... then let x = 1 in x else ...` must
+        # leave the space before `else` for the if's trivia1).
         body = self.expect(self.parse_expr, "expected expression after 'in'")
-        self.trivia0()
         end = self.pos
         if body is None:
             body = error_placeholder()

@@ -98,12 +98,26 @@ def _structural(e: Expr, source: str) -> str:
             op = e.function.name
             if len(e.positional) == 2 and op in _e._BINOP_PREC:
                 prec = _e._BINOP_PREC[op]
-                lhs = _pp(e.positional[0], source, prec)
+                # Open-ended LHS (let/fn/if) needs parens even at equal
+                # precedence — same rule as format_expr: printed bare it
+                # swallows ` op rhs` into its body on re-parse.
+                lhs_e = e.positional[0]
+                open_ended = isinstance(lhs_e, (EIf, EFunction)) or (
+                    isinstance(lhs_e, EApply)
+                    and _e._as_let_binding(lhs_e) is not None)
+                lhs = _pp(lhs_e, source, prec, strict=open_ended)
                 rhs = _pp(e.positional[1], source, prec, strict=True)
                 return f"{lhs} {op} {rhs}"
             if len(e.positional) == 1 and op in _e._UNARY_OPS:
-                return op + _pp(e.positional[0], source, _e.P_UNARY,
-                                strict=True)
+                # A unary operand is grammatically a primitive: any
+                # non-atom, non-unary operand must parenthesize
+                # (`%(f(x))` printed `%f(x)` re-parses as `(%f)(x)`).
+                operand = e.positional[0]
+                p_op = _e.expr_precedence(operand)
+                if p_op == _e.P_ATOM or p_op == _e.P_UNARY:
+                    return op + _pp(operand, source, _e.P_UNARY,
+                                    strict=True)
+                return f"{op}({print_preserving(operand, source)})"
         fn = _pp(e.function, source, _e.P_APPLICATION)
         args = [print_preserving(a, source) for a in e.positional]
         args += [f"{n} = {print_preserving(v, source)}" for n, v in e.named]
