@@ -351,6 +351,88 @@ def test_completion_no_candidates_reports():
     assert 'No completions for "zzzqqq"' in effects[0].message
 
 
+def test_completion_skips_shadowed_names():
+    # Later bindings shadow earlier same-name ones: only the live `za`
+    # is a candidate, so the ring is [za, original] (actions.rs
+    # complete_skips_shadowed_names).
+    state = make_state("za = 1;\nza = 2;\n#{level_db=0}\n_ = 0;\n")
+    state.active_program().text = "z"
+    state.mode = A.Edit(cursor=1)
+    c = ctx()
+    A.apply(state, c, A.Complete())
+    assert state.active_program().text == "za" and state.mode.cursor == 2
+    A.apply(state, c, A.Complete())
+    assert state.active_program().text == "z" and state.mode.cursor == 1
+
+
+def test_undo_outside_edit_mode_is_a_no_op():
+    state = make_state()
+    effects = A.apply(state, ctx(), A.Undo())
+    assert effects == []
+    assert isinstance(state.mode, A.Select)
+
+
+def test_history_survives_mode_round_trip():
+    # Leaving and re-entering edit mode keeps the undo stack but closes
+    # the open insert run: typing after the round trip is a NEW unit
+    # (actions.rs history_survives_mode_round_trip).
+    state = edit_state("", cursor=0)
+    c = ctx()
+    for ch in "ab":
+        A.apply(state, c, A.InsertText(ch))
+    A.apply(state, c, A.EnterSelectMode())
+    A.apply(state, c, A.EnterEditMode())
+    for ch in "cd":
+        A.apply(state, c, A.InsertText(ch))
+    assert state.active_program().text == "abcd" and state.mode.cursor == 4
+    A.apply(state, c, A.Undo())
+    assert state.active_program().text == "ab" and state.mode.cursor == 2
+    A.apply(state, c, A.Undo())
+    assert state.active_program().text == "" and state.mode.cursor == 0
+
+
+def test_multibyte_cursor_and_word_ops():
+    # Cursor positions are character indices: arrows, backspace and word
+    # deletes must treat multibyte chars as single units (actions.rs
+    # cursor_ops_respect_multibyte_char_boundaries and friends).
+    state = edit_state("", cursor=0)
+    c = ctx()
+    A.apply(state, c, A.InsertText("π"))
+    A.apply(state, c, A.MoveCursorBy(-1))
+    assert state.mode.cursor == 0
+    A.apply(state, c, A.InsertText("x"))
+    assert state.active_program().text == "xπ"
+
+    state = edit_state("aπ", cursor=2)
+    A.apply(state, c, A.DeleteCharBeforeCursor())
+    assert state.active_program().text == "a" and state.mode.cursor == 1
+
+    # Multibyte whitespace (NBSP) is a word separator, not a word char.
+    state = edit_state("a\u00a0bc", cursor=4)
+    A.apply(state, c, A.DeleteWordBeforeCursor())
+    assert state.active_program().text == "a\u00a0"
+
+
+def test_word_boundary_vectors():
+    # The reference's word_boundaries_follow_identifier_chars vectors:
+    # '#' and '_' are word chars (note names like c#4), operators and
+    # whitespace separate.
+    pws, nwe = A.prev_word_start, A.next_word_end
+    assert pws("sine(440)") == 5
+    assert pws("sine(") == 0
+    assert pws("a + b") == 4
+    assert pws("a + ") == 0
+    assert pws("c#4") == 0
+    assert pws("x_1") == 0
+    assert pws("+-*/") == 0
+    assert pws("") == 0
+    assert nwe("sine(440)") == 4
+    assert nwe("(440)") == 4
+    assert nwe(" + b") == 4
+    assert nwe("+-*/") == 4
+    assert nwe("") == 0
+
+
 def test_parameter_hint_inserts_skeleton():
     source = 'f = fn(x, y = 10 + 1) => x + y;\n#{level_db=0}\n_ = 1;\n'
     state = make_state(source)
