@@ -1,0 +1,218 @@
+"""ProgramSet splice semantics: new-program insertion into padding slots,
+deletion with skip_slots compensation, and annotation persistence (the
+reference's programs.rs splice tests, programs.rs:1357-1987)."""
+
+from pathlib import Path
+
+import tuun_tpu.actions as A
+from tuun_tpu.evaluator import Evaluator
+from tuun_tpu.programs import ProgramSet
+from tuun_tpu.tracker import Status
+
+STDLIB = Path(__file__).resolve().parent.parent / "tuun_tpu" / "stdlib" / "v0"
+
+
+def slots(ps):
+    return [i for i, p in enumerate(ps.programs) if p.span is not None]
+
+
+def build(source):
+    ps, message = ProgramSet.from_source(source)
+    assert not message, message
+    return ps
+
+
+THREE = ("#{level_db=0}\n_ = 1;\n"
+         "#{level_db=0}\n_ = 2;\n"
+         "#{level_db=0}\n_ = 3;\n")
+
+
+# -- new programs in padding slots -------------------------------------------
+
+
+def test_new_program_is_appended_at_end_when_no_next_ui_program():
+    ps = build("#{level_db=0}\n_ = 1;\n")
+    assert ps.splice(3, "2") is None
+    assert slots(ps) == [0, 3]
+    assert "skip_slots=2" in ps.source
+    assert ps.programs[3].text == "2"
+    # The new source round-trips to the same slot layout.
+    assert slots(build(ps.source)) == [0, 3]
+
+
+def test_new_program_at_end_uses_runtime_level_db_when_set():
+    ps = build("#{level_db=0}\n_ = 1;\n")
+    ps.programs[2].level_db = -6.0
+    assert ps.splice(2, "9") is None
+    assert "level_db=-6" in ps.source
+    assert ps.programs[2].level_db == -6.0
+
+
+def test_insert_before_first_ui_program_writes_skip_slots_on_new_binding():
+    ps = build("#{skip_slots=3,level_db=0}\n_ = 1;\n")
+    assert slots(ps) == [3]
+    assert ps.splice(1, "7") is None
+    assert slots(ps) == [1, 3]
+    # New binding skips one slot; the follower's skip shrinks to keep
+    # its absolute position.
+    first, second = ps.source.split(";")[:2]
+    assert "skip_slots=1" in first and "_ = 7" in first
+    assert "skip_slots=1" in second and "_ = 1" in second
+    assert slots(build(ps.source)) == [1, 3]
+
+
+def test_new_program_inserts_between_neighbors_and_adjusts_next_skip():
+    ps = build("#{level_db=0}\n_ = 1;\n"
+               "#{skip_slots=3,level_db=0}\n_ = 2;\n")
+    assert slots(ps) == [0, 4]
+    assert ps.splice(2, "9") is None
+    assert slots(ps) == [0, 2, 4]
+    assert ps.programs[2].text == "9"
+    assert ps.programs[4].text == "2"
+    assert slots(build(ps.source)) == [0, 2, 4]
+
+
+def test_insert_immediately_before_next_removes_its_skip_slots():
+    ps = build("#{level_db=0}\n_ = 1;\n"
+               "#{skip_slots=1,level_db=0}\n_ = 2;\n")
+    assert slots(ps) == [0, 2]
+    assert ps.splice(1, "9") is None
+    assert slots(ps) == [0, 1, 2]
+    assert "skip_slots" not in ps.source
+
+
+def test_editing_padding_slot_with_empty_text_is_a_no_op():
+    ps = build(THREE)
+    before = ps.source
+    assert ps.splice(5, "   ") is None
+    assert ps.source == before
+    assert slots(ps) == [0, 1, 2]
+
+
+def test_spliced_text_drops_semicolons():
+    # Semicolons are invalid inside an expression and would defeat the
+    # module parser's error recovery (programs.rs:1001-1003).
+    ps = build(THREE)
+    assert ps.splice(1, "4;") is None
+    assert ps.programs[1].text == "4"
+    # ... and a splice that still fails to re-parse is atomic.
+    before = ps.source
+    assert ps.splice(1, "4 +") is not None
+    assert ps.source == before
+
+
+# -- deletion ----------------------------------------------------------------
+
+
+def test_deleting_a_program_keeps_next_position():
+    ps = build(THREE)
+    assert ps.splice(1, "") is None
+    assert slots(ps) == [0, 2]
+    assert ps.programs[2].text == "3"
+    assert "skip_slots=1" in ps.source
+    assert slots(build(ps.source)) == [0, 2]
+
+
+def test_deleting_the_last_program_just_removes_its_binding():
+    ps = build(THREE)
+    assert ps.splice(2, "  ") is None
+    assert slots(ps) == [0, 1]
+    assert "skip_slots" not in ps.source
+    assert "_ = 3" not in ps.source
+
+
+def test_deleting_a_program_resets_its_slot_state():
+    ps = build("#{level_db=0}\n_ = 1;\n"
+               '#{sliders=["g:0.5:0:1"],level_db=-3}\n_ = 2 * g;\n')
+    assert ps.splice(1, "") is None
+    p = ps.programs[1]
+    assert p.span is None and p.text == ""
+    assert p.level_db == 0.0 and not p.sliders.configs
+
+
+def test_delete_then_recreate_round_trips():
+    ps = build(THREE)
+    assert ps.splice(0, "") is None
+    assert slots(ps) == [1, 2]
+    assert ps.splice(0, "42") is None
+    assert slots(ps) == [0, 1, 2]
+    assert ps.programs[0].text == "42"
+
+
+# -- annotation persistence --------------------------------------------------
+
+
+def test_persist_annotations_keeps_skip_slots():
+    # Regression: rewriting a program's annotation group on save must not
+    # drop its skip_slots — the program would shift slots on reload.
+    ps = build("#{level_db=0}\n_ = 1;\n"
+               "#{skip_slots=2,level_db=-3}\n_ = 2;\n")
+    assert slots(ps) == [0, 3]
+    assert ps.persist_annotations(3) is None
+    assert slots(ps) == [0, 3]
+    assert slots(build(ps.source)) == [0, 3]
+    assert "skip_slots=2" in ps.source
+
+
+def test_persist_never_demotes_an_annotated_binding():
+    # A UI program whose only annotation would regenerate empty (level 0,
+    # no sliders/color) keeps a level_db annotation instead.
+    ps = build("#{level_db=-3}\n_ = 1;\n")
+    ps.programs[0].level_db = 0.0
+    assert ps.persist_annotations(0) is None
+    assert slots(ps) == [0]
+    assert "level_db=0" in ps.source
+    assert slots(build(ps.source)) == [0]
+
+
+# -- through the reducer/effects loop ----------------------------------------
+
+
+def _runner(source):
+    from tuun_tpu.effects import EffectRunner
+    from tuun_tpu.player import Player
+    from tuun_tpu.tracker import Tracker
+
+    state, message = A.AppState.from_source(source)
+    assert not message
+    tracker = Tracker(100, 16, precision="exact", jit=False)
+    evaluator = Evaluator(100, 60, STDLIB)
+    player = Player(tracker, 60, 4)
+    return state, EffectRunner(state, evaluator, player)
+
+
+def test_editing_an_empty_slot_creates_a_program_end_to_end():
+    state, runner = _runner("#{level_db=0}\n_ = 1;\n")
+    runner.dispatch(A.SelectProgram(2))
+    runner.dispatch(A.EnterEditMode())
+    for ch in "time":
+        runner.dispatch(A.InsertText(ch))
+    runner.dispatch(A.EvaluateAndLeaveEditMode(mode_on_failure=A.Select()))
+    ps = state.programs
+    assert slots(ps) == [0, 2]
+    assert ps.programs[2].text == "time"
+    assert "skip_slots=1" in ps.source
+    # The created program evaluates and plays.
+    runner.dispatch(A.PlayProgram(2))
+    tracker = runner.player.tracker
+    assert tracker.pending or tracker.active
+    import numpy as np
+    y, _ = tracker.render_block()
+    np.testing.assert_allclose(np.asarray(y), np.arange(16) / 100.0,
+                               atol=1e-6)
+
+
+def test_clearing_a_program_deletes_its_binding_end_to_end():
+    state, runner = _runner(THREE)
+    runner.dispatch(A.SelectProgram(1))
+    runner.dispatch(A.EnterEditMode())
+    for _ in range(10):
+        runner.dispatch(A.DeleteCharBeforeCursor())
+    # Evaluating the empty text succeeds (a deletion in progress, not a
+    # parse error — programs.rs evaluate_and_record) and leaves Edit mode.
+    runner.dispatch(A.EvaluateAndLeaveEditMode(mode_on_failure=A.Edit()))
+    assert isinstance(state.mode, A.Select)
+    ps = state.programs
+    assert slots(ps) == [0, 2]
+    assert "_ = 2" not in ps.source
+    assert ps.programs[2].text == "3"

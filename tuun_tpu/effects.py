@@ -129,6 +129,13 @@ class EffectRunner:
         elif isinstance(effect, A.EEvaluateProgram):
             i = effect.program_index
             self.invalidate(i)
+            # An empty program is a deletion in progress, not a parse
+            # error: succeed so the editor leaves Edit mode and the
+            # following EUpdateSource removes the binding
+            # (programs.rs evaluate_and_record).
+            if not ps.programs[i].text.strip():
+                state.mode = A.Select()
+                return
             ev = self.evaluation(i)
             if ev.kind == "invalid":
                 state.mode = effect.mode_on_failure
@@ -137,10 +144,10 @@ class EffectRunner:
                 state.mode = A.Select()
         elif isinstance(effect, A.EUpdateSource):
             i = effect.program_index
-            program = ps.programs[i]
-            if program.span is None:
-                return
-            err = ps.splice(i, program.text)
+            # Padding slots splice too: editing an empty slot inserts a
+            # fresh binding; clearing an existing program deletes it
+            # (both with skip_slots compensation, programs.rs:998-1103).
+            err = ps.splice(i, ps.programs[i].text)
             if err:
                 self._show(f"splice failed (source unchanged): {err}")
                 return

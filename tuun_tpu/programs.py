@@ -107,15 +107,123 @@ class ProgramSet:
 
     # -- splice / persistence (programs.rs:980-1220) --------------------
 
+    def _ui_neighbors(self, index: int
+                      ) -> Tuple[Optional[int], Optional[int]]:
+        """Slot positions of the nearest UI programs before and after
+        `index` (programs with a source binding)."""
+        prev_pos = next((i for i in range(index - 1, -1, -1)
+                         if self.programs[i].span is not None), None)
+        next_pos = next((i for i in range(index + 1, len(self.programs))
+                         if self.programs[i].span is not None), None)
+        return prev_pos, next_pos
+
+    def _annotation_group_edit(self, slot: int, skip_slots: int
+                               ) -> Optional[Tuple[int, int, str]]:
+        """The (start, end, replacement) source edit that rewrites slot
+        `slot`'s binding annotation group so it carries `skip_slots` (the
+        reference's skip_slots_edit, programs.rs:808-840). Regenerates the
+        whole `#{...}` group from the program's live state; when the group
+        would otherwise be empty, `level_db` is emitted so the binding
+        keeps its any-annotation-makes-a-UI-program status."""
+        import re
+        program = self.programs[slot]
+        sb = self.bindings[program.binding_index]
+        if _read_skip_slots(sb) == skip_slots:
+            return None
+        if sb.span is None:
+            return None
+        text = self.source[sb.span.start:sb.span.end]
+        new_anno = self.annotation_text(slot, skip_slots=skip_slots,
+                                        force=True)
+        m = re.search(r"#\{.*?\}", text, re.DOTALL)
+        if m:
+            return (sb.span.start + m.start(), sb.span.start + m.end(),
+                    new_anno)
+        if skip_slots <= 0:
+            return None
+        # Un-annotated binding (all_bindings corpora): insert a fresh
+        # annotation line before the first non-trivia char of the binding.
+        pos = sb.span.start + _trivia_len(text)
+        return (pos, pos, new_anno + "\n")
+
     def splice(self, index: int, new_text: str) -> Optional[str]:
         """Replaces program `index`'s expression text in the source and
         re-parses. Atomic: on a parse failure neither source nor programs
-        change and the error message is returned (None on success)."""
+        change and the error message is returned (None on success).
+
+        Padding slots (no source binding) are treated as brand-new
+        programs: a fresh `_ = <text>;` binding with a
+        `#{skip_slots=..., level_db=...}` annotation is inserted between
+        its source-order neighbors and the following program's
+        `skip_slots` is adjusted so its absolute slot stays stable.
+        Splicing EMPTY text into an existing program deletes the whole
+        binding (annotations included) and grows the following program's
+        `skip_slots` to compensate (programs.rs:998-1103)."""
         program = self.programs[index]
-        if program.span is None:
-            return "program has no source span"
-        start, end = program.span
-        new_source = self.source[:start] + new_text + self.source[end:]
+        # Semicolons are never valid inside an expression and defeat the
+        # parser's error recovery if spliced in (programs.rs:1001-1003).
+        new_text = new_text.replace(";", "")
+        is_new = program.span is None
+        is_deletion = (not is_new) and not new_text.strip()
+
+        edits: List[Tuple[int, int, str]] = []
+        if is_new:
+            if not new_text.strip():
+                return None  # padding slot still empty — nothing to do
+            prev_pos, next_pos = self._ui_neighbors(index)
+            new_skip = index - prev_pos - 1 if prev_pos is not None \
+                else index
+            parts = []
+            if new_skip > 0:
+                parts.append(f"skip_slots={new_skip}")
+            # Always emit level_db so the new binding carries at least one
+            # annotation (the "any annotation -> UI program" invariant);
+            # a level set on the padding slot at runtime persists here.
+            parts.append(f"level_db={_fmt(program.level_db)}")
+            anno = "#{" + ",".join(parts) + "}"
+            if next_pos is not None:
+                nb = self.bindings[self.programs[next_pos].binding_index]
+                anchor = nb.span.start
+                edit = self._annotation_group_edit(
+                    next_pos, next_pos - index - 1)
+                if edit is not None:
+                    edits.append(edit)
+            else:
+                anchor = len(self.source)
+            prefix = "" if anchor == 0 or self.source[anchor - 1] == "\n" \
+                else "\n"
+            suffix = "" if anchor == len(self.source) \
+                or self.source[anchor] == "\n" else "\n"
+            edits.append((anchor, anchor,
+                          f"{prefix}{anno}\n_ = {new_text};{suffix}"))
+        elif is_deletion:
+            # Remove the whole binding: leading trivia, annotations,
+            # definition, terminating `;` and one trailing newline.
+            sb = self.bindings[program.binding_index]
+            if sb.span is None:
+                return "binding has no span"
+            end = sb.span.end
+            if end < len(self.source) and self.source[end] == ";":
+                end += 1
+            # The trailing newline stays: it is the next binding's leading
+            # trivia (spans start at leading trivia) and the separation
+            # that remains after this binding's own leading "\n" goes.
+            edits.append((sb.span.start, end, ""))
+            prev_pos, next_pos = self._ui_neighbors(index)
+            if next_pos is not None:
+                next_skip = next_pos - prev_pos - 1 \
+                    if prev_pos is not None else next_pos
+                edit = self._annotation_group_edit(next_pos, next_skip)
+                if edit is not None:
+                    edits.append(edit)
+        else:
+            start, end = program.span
+            edits.append((start, end, new_text))
+
+        new_source = self.source
+        for start, end, replacement in sorted(edits, reverse=True):
+            new_source = (new_source[:start] + replacement +
+                          new_source[end:])
         try:
             bindings, errors = parser.parse_module(new_source, Source.file())
         except TuunError as e:
@@ -124,7 +232,8 @@ class ProgramSet:
             return errors[0].message
         fresh, _ = ProgramSet.from_source(new_source, self.input_path,
                                           all_bindings=self._all_bindings)
-        # Keep slider positions for unchanged labels.
+        # Keep slider positions for unchanged labels (slots are stable by
+        # construction: skip_slots compensation above).
         for old_p, new_p in zip(self.programs, fresh.programs):
             by_label = dict(zip((c.label for c in old_p.sliders.configs),
                                 old_p.sliders.normalized_values))
@@ -136,11 +245,19 @@ class ProgramSet:
         self.programs = fresh.programs
         return None
 
-    def annotation_text(self, index: int) -> str:
+    def annotation_text(self, index: int, skip_slots: Optional[int] = None,
+                        force: bool = False) -> str:
         """The #{...} annotation set reflecting the program's current
-        state (sliders at their live values, level, color)."""
+        state (sliders at their live values, level, color).  `skip_slots`
+        overrides the binding's current value (None = keep it); with
+        `force`, `level_db` is always emitted — a regenerated set is
+        never empty, so the binding stays a UI program."""
         program = self.programs[index]
         parts = []
+        if skip_slots is None and program.binding_index < len(self.bindings):
+            skip_slots = _read_skip_slots(self.bindings[program.binding_index])
+        if skip_slots:
+            parts.append(f"skip_slots={skip_slots}")
         if program.color is not None:
             r, g, b = program.color
             parts.append(f"color=rgb({r}, {g}, {b})")
@@ -157,7 +274,7 @@ class ProgramSet:
                     entries.append(f'"{c.label}:{_fmt(norm)}'
                                    f':{c.function.function_source}"')
             parts.append("sliders=[" + ", ".join(entries) + "]")
-        if program.level_db:
+        if program.level_db or force:
             parts.append(f"level_db={_fmt(program.level_db)}")
         return "#{" + ",".join(parts) + "}" if parts else ""
 
@@ -171,8 +288,10 @@ class ProgramSet:
         if sb.span is None:
             return "binding has no span"
         text = self.source[sb.span.start:sb.span.end]
-        new_anno = self.annotation_text(index)
         m = re.search(r"#\{.*?\}", text, re.DOTALL)
+        # An existing group never vanishes (force): dropping the last
+        # annotation would silently demote the binding from UI program.
+        new_anno = self.annotation_text(index, force=m is not None)
         if m:
             new_text = text[:m.start()] + new_anno + text[m.end():]
         elif new_anno:
@@ -250,6 +369,21 @@ def _program_from_binding(sb: SourceBinding, binding_index: int, source: str,
     text = source[e.span.start:e.span.end]
     return Program(text, (e.span.start, e.span.end), binding_index, sliders,
                    color, level_db)
+
+
+def _trivia_len(text: str) -> int:
+    """Length of the leading trivia (whitespace and `//` comments) of a
+    binding's source text."""
+    i = 0
+    while i < len(text):
+        if text[i].isspace():
+            i += 1
+        elif text.startswith("//", i):
+            nl = text.find("\n", i)
+            i = len(text) if nl < 0 else nl + 1
+        else:
+            break
+    return i
 
 
 def _read_skip_slots(sb: SourceBinding) -> int:
