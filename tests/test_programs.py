@@ -139,6 +139,22 @@ def test_delete_then_recreate_round_trips():
     assert ps.programs[0].text == "42"
 
 
+def test_overflow_positions_are_dropped_not_panicked():
+    # A skip_slots past slot 63 drops the overflowing program; earlier
+    # programs still place (programs.rs overflow_positions_are_dropped).
+    ps = build("#{level_db=0}\na = 1;\n#{skip_slots=100,level_db=0}\nb = 2;\n")
+    assert ps.programs[0].text == "1"
+    assert all(p.is_empty() for p in ps.programs[1:])
+
+
+def test_library_bindings_without_annotations_do_not_take_slots():
+    ps = build("#{level_db=0}\nkick = 1;\npi2 = 3.14;\n"
+               "#{level_db=0}\nsynth = 2;\n")
+    assert ps.programs[0].text == "1"
+    assert ps.programs[1].text == "2"
+    assert ps.programs[2].is_empty()
+
+
 # -- annotation persistence --------------------------------------------------
 
 
