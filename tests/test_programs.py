@@ -181,6 +181,44 @@ def test_persist_never_demotes_an_annotated_binding():
     assert slots(build(ps.source)) == [0]
 
 
+def test_splice_fuzz_slot_stability_and_reload_equivalence():
+    # Random create/edit/delete sequences across slots: every successful
+    # splice keeps all OTHER programs' slots and texts stable, and the
+    # resulting source reloads to the identical slot layout (the
+    # file-is-the-checkpoint contract).
+    import random
+
+    for seed in range(12):
+        rng = random.Random(5000 + seed)
+        ps = build("#{level_db=0}\n_ = 1;\n")
+        for step in range(25):
+            index = rng.randrange(8)
+            kind = rng.choice(["create", "edit", "delete"])
+            before = {i: p.text for i, p in enumerate(ps.programs)
+                      if p.span is not None}
+            text = "" if kind == "delete" else str(rng.randrange(100))
+            err = ps.splice(index, text)
+            assert err is None, f"seed={seed} step={step}: {err}"
+            after = {i: p.text for i, p in enumerate(ps.programs)
+                     if p.span is not None}
+            for i, t in before.items():
+                if i != index:
+                    assert after.get(i) == t, (
+                        f"seed={seed} step={step} {kind}@{index}: "
+                        f"slot {i} moved/changed: {before} -> {after}")
+            if text.strip():
+                assert after.get(index) == text
+            elif index in before:
+                assert index not in after  # deleted
+            # Reload equivalence.
+            fresh = build(ps.source)
+            fresh_slots = {i: p.text for i, p in enumerate(fresh.programs)
+                           if p.span is not None}
+            assert fresh_slots == after, (
+                f"seed={seed} step={step}: reload diverges: "
+                f"{after} vs {fresh_slots}\n{ps.source}")
+
+
 # -- through the reducer/effects loop ----------------------------------------
 
 
