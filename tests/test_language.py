@@ -181,7 +181,7 @@ def test_printer_regressions_from_fuzz():
     # Unary operands are grammatically primitives: an application operand
     # must keep its parens or `%f(x)` re-parses as `(%f)(x)`.
     assert_round_trip("%(f(1))", "%(f(1))")
-    assert_round_trip("-({[1, 1]})", "-(__chord([1, 1]))")
+    assert_round_trip("-({[1, 1]})", "-{[1, 1]}")
     # `let` inside an if branch: the parser must not eat the whitespace
     # before `else` (parse_let used to consume trailing trivia).
     assert_round_trip("if x then let v = 1 in v else 3")
@@ -200,6 +200,24 @@ def test_chord_and_sequence_sugar():
     assert format_expr(e.function) == "__chord"
     e = parser.parse_program("<[1, 2]>")
     assert format_expr(e.function) == "__sequence"
+
+
+def test_sugar_reprints_sugared():
+    # The printer re-sugars __chord/__sequence applications like the
+    # reference Display (parser.rs:1239-1249) — bare in delimited
+    # positions, parenthesized in operator contexts where a bare `<...>`
+    # would have its closing `>` swallowed on re-parse.
+    assert_round_trip("{[$x, $y, $z]}", "{[$x, $y, $z]}")
+    assert_round_trip("<[$x, $y, $z]>", "<[$x, $y, $z]>")
+    assert_round_trip("{map(f, [1, 3])}", "{map(f, [1, 3])}")
+    assert_round_trip("if 1 then (<[2]>) else 3", "if 1 then <[2]> else 3")
+    assert_round_trip("f(<[1]>)", "f(<[1]>)")
+    assert_round_trip("[<[1]>, 2]", "[<[1]>, 2]")
+    assert_round_trip("(<[1]>) - 2", "(<[1]>) - 2")   # bare would re-parse
+    assert_round_trip("-(<[1]>)", "-(<[1]>)")          # as `[1] > -...`
+    assert_round_trip("{[1]} * 2", "{[1]} * 2")        # braces self-delimit
+    assert_round_trip("%{[1]}", "%{[1]}")
+    assert_round_trip("let x = (<[1]>) in x", "let x = <[1]> in x")
 
 
 def test_comments_and_trivia():

@@ -359,6 +359,16 @@ def _as_let_binding(e: EApply):
     return None
 
 
+def _sugar_kind(e: Expr) -> Optional[str]:
+    """"chord" / "sequence" when `e` is the sugar desugaring `{x}` ->
+    __chord(x) / `<x>` -> __sequence(x) (parser.rs:706,719), else None."""
+    if isinstance(e, EApply) and isinstance(e.function, EVar) \
+            and not e.named and len(e.positional) == 1 \
+            and e.function.name in ("__chord", "__sequence"):
+        return e.function.name[2:]
+    return None
+
+
 def expr_precedence(e: Expr) -> int:
     if isinstance(e, (EBool, EFloat, EString, EVar, EWaveform, EBuiltIn,
                       ETuple, EList, EError)):
@@ -366,6 +376,8 @@ def expr_precedence(e: Expr) -> int:
     if isinstance(e, ESeq):
         return P_APPLICATION
     if isinstance(e, EApply):
+        if _sugar_kind(e) is not None:
+            return P_ATOM  # {...} / <...> print self-delimited
         if e.named:
             return P_APPLICATION
         if isinstance(e.function, EVar):
@@ -389,6 +401,15 @@ def format_expr(e: Expr) -> str:
 
 
 def _paren(e: Expr, parent_prec: int, *, strict: bool = False) -> str:
+    # Sequence sugar is ALWAYS parenthesized in operator contexts: printed
+    # bare, its closing `>` is swallowed on re-parse whenever the next
+    # token can start an expression (`<[a]> - b` parses the body as
+    # `[a] > -b` — the grammar quirk shared with the reference).  Bare
+    # placement is safe only in delimited positions (list/tuple/call
+    # elements, sugar bodies, if/let keyword boundaries, top level),
+    # which call _fmt directly.
+    if _sugar_kind(e) == "sequence":
+        return f"({_fmt(e)})"
     p = expr_precedence(e)
     need = p < parent_prec or (strict and p == parent_prec)
     s = _fmt(e)
@@ -424,6 +445,11 @@ def _fmt(e: Expr) -> str:
     if isinstance(e, EList):
         return "[" + ", ".join(_fmt(x) for x in e.exprs) + "]"
     if isinstance(e, EApply):
+        sugar = _sugar_kind(e)
+        if sugar == "chord":
+            return "{" + _fmt(e.positional[0]) + "}"
+        if sugar == "sequence":
+            return "<" + _fmt(e.positional[0]) + ">"
         # let-shaped chains
         lb = _as_let_binding(e)
         if lb is not None:
@@ -462,7 +488,8 @@ def _fmt(e: Expr) -> str:
                 operand = e.positional[0]
                 p = expr_precedence(operand)
                 s = _fmt(operand)
-                if p != P_ATOM and p != P_UNARY:
+                if (p != P_ATOM and p != P_UNARY) \
+                        or _sugar_kind(operand) == "sequence":
                     s = f"({s})"
                 return f"{op}{s}"
         # single-argument application of an application prints as a pipe

@@ -55,6 +55,13 @@ def _pp(e: Expr, source: str, parent_prec: int, *, strict: bool = False
         ) -> str:
     """Child renderer for the structural fallback: splice when clean,
     recurse otherwise, parenthesizing by precedence either way."""
+    # Sequence sugar always parenthesizes in operator contexts — printed
+    # bare its closing `>` is swallowed when the following token can
+    # start an expression (same rule as expr._paren).
+    if _e._sugar_kind(e) == "sequence":
+        if e.span is not None and is_clean(e):
+            return f"({source[e.span.start:e.span.end]})"
+        return f"({_structural(e, source)})"
     if e.span is not None and is_clean(e):
         # Spliced source text carries its own grouping only when the span
         # included parens; re-wrap when precedence demands it.
@@ -94,6 +101,11 @@ def _structural(e: Expr, source: str) -> str:
         return "[" + ", ".join(print_preserving(x, source)
                                for x in e.exprs) + "]"
     if isinstance(e, EApply):
+        sugar = _e._sugar_kind(e)
+        if sugar == "chord":
+            return "{" + print_preserving(e.positional[0], source) + "}"
+        if sugar == "sequence":
+            return "<" + print_preserving(e.positional[0], source) + ">"
         if isinstance(e.function, EVar) and not e.named:
             op = e.function.name
             if len(e.positional) == 2 and op in _e._BINOP_PREC:
