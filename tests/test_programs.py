@@ -219,6 +219,26 @@ def test_splice_fuzz_slot_stability_and_reload_equivalence():
                 f"{after} vs {fresh_slots}\n{ps.source}")
 
 
+def test_persist_is_a_no_op_without_divergence():
+    # Saving never rewrites a binding whose runtime state still matches
+    # its annotations (programs.rs no_divergence_means_no_annotation_edits)
+    # — even when the regenerated group would format differently.
+    src = '#{sliders=["g:0.5:0:1"], level_db=-3}\n_ = 2 * g;\n'
+    ps = build(src)
+    assert ps.persist_annotations(0) is None
+    assert ps.source == src
+
+
+def test_runtime_level_change_persists_without_sliders():
+    # A level_db change on a slider-less program diverges and persists
+    # (programs.rs non_active_program_divergence_persists_on_any_save).
+    ps = build("#{level_db=0}\n_ = 1;\n")
+    ps.programs[0].level_db = -6.0
+    assert ps.persist_annotations(0) is None
+    assert "level_db=-6" in ps.source
+    assert build(ps.source).programs[0].level_db == -6.0
+
+
 # -- through the reducer/effects loop ----------------------------------------
 
 

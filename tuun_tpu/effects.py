@@ -188,11 +188,12 @@ class EffectRunner:
                 self.tracker.modify(WaveformId.key(key), MarkId.AMPLITUDE,
                                     ir.Const(effect.amplitude))
         elif isinstance(effect, A.ESaveAll):
-            for i, p in enumerate(ps.programs):
-                if not p.is_empty() and p.sliders.configs:
-                    err = ps.persist_annotations(i)
-                    if err:
-                        self._show(f"warning: {err}")
+            # Any divergence persists — slider positions AND runtime
+            # level changes on slider-less programs (programs.rs
+            # non_active_program_divergence_persists_on_any_save);
+            # persist_annotations itself is a no-op without divergence.
+            for w in ps.persist_all():
+                self._show(f"warning: {w}")
             if ps.input_path is not None:
                 ps.save()
                 self._show(f"saved {ps.input_path}")

@@ -287,6 +287,22 @@ class ProgramSet:
         sb = self.bindings[program.binding_index]
         if sb.span is None:
             return "binding has no span"
+        # No divergence from the parsed annotations -> no edit (the
+        # reference's ANNOTATION_EPSILON contract: a save never rewrites
+        # a binding whose runtime state still matches its source).
+        base = _program_from_binding(sb, program.binding_index, self.source,
+                                     self._all_bindings)
+        if base is not None:
+            eps = 1e-4
+            same = (abs(base.level_db - program.level_db) <= eps
+                    and base.color == program.color
+                    and len(base.sliders.normalized_values)
+                    == len(program.sliders.normalized_values)
+                    and all(abs(a - b) <= eps for a, b in
+                            zip(base.sliders.normalized_values,
+                                program.sliders.normalized_values)))
+            if same:
+                return None
         text = self.source[sb.span.start:sb.span.end]
         m = re.search(r"#\{.*?\}", text, re.DOTALL)
         # An existing group never vanishes (force): dropping the last
@@ -315,6 +331,19 @@ class ProgramSet:
         self.bindings = fresh.bindings
         self.programs = fresh.programs
         return None
+
+    def persist_all(self) -> List[str]:
+        """persist_annotations for every non-empty program — any runtime
+        divergence (slider positions, level changes on slider-less
+        programs) lands in the source; no-divergence programs are
+        untouched. Returns warning messages."""
+        warnings = []
+        for i, p in enumerate(self.programs):
+            if not p.is_empty():
+                err = self.persist_annotations(i)
+                if err:
+                    warnings.append(err)
+        return warnings
 
     def save(self, path: Optional[Path] = None) -> None:
         """Writes the (possibly spliced) source back to disk."""

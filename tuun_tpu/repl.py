@@ -375,11 +375,8 @@ class Repl:
 
     def cmd_save(self, path: str = ""):
         ps = self.state.programs
-        for i, p in enumerate(ps.programs):
-            if not p.is_empty() and p.sliders.configs:
-                err = ps.persist_annotations(i)
-                if err:
-                    self.log(f"warning: {err}")
+        for w in ps.persist_all():
+            self.log(f"warning: {w}")
         ps.save(Path(path) if path else None)
         self.log(f"saved {path or ps.input_path}")
 
