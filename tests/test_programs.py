@@ -193,9 +193,19 @@ def test_splice_fuzz_slot_stability_and_reload_equivalence():
         ps = build("#{level_db=0}\n_ = 1;\n")
         for step in range(25):
             index = rng.randrange(8)
-            kind = rng.choice(["create", "edit", "delete"])
+            kind = rng.choice(["create", "edit", "delete", "level"])
             before = {i: p.text for i, p in enumerate(ps.programs)
                       if p.span is not None}
+            if kind == "level":
+                # Runtime level divergence persists without moving slots.
+                ps.programs[index].level_db = float(rng.randrange(-24, 1))
+                if ps.programs[index].span is not None:
+                    err = ps.persist_annotations(index)
+                    assert err is None, f"seed={seed} step={step}: {err}"
+                    after_lv = {i: p.text for i, p in enumerate(ps.programs)
+                                if p.span is not None}
+                    assert after_lv == before
+                continue
             text = "" if kind == "delete" else str(rng.randrange(100))
             err = ps.splice(index, text)
             assert err is None, f"seed={seed} step={step}: {err}"
