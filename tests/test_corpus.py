@@ -98,6 +98,7 @@ def test_examples_programs_all_play(tmp_path):
         rc = cli.main([str(f), "--platform", "cpu", "--no-jit",
                        "--precision", "exact", "--sample_rate", "100",
                        "--buffer_size", "64", "--duration", "2",
-                       "--render-out", str(out), "--quiet"])
+                       "--render-out", str(out), "--quiet",
+                       "-O", str(tmp_path)])  # capture() WAVs land in tmp
         assert rc == 0, f"{f.name} failed"
         assert out.exists(), f.name
