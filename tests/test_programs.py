@@ -300,3 +300,96 @@ def test_clearing_a_program_deletes_its_binding_end_to_end():
     assert slots(ps) == [0, 2]
     assert "_ = 2" not in ps.source
     assert ps.programs[2].text == "3"
+
+
+# -- splice persists other programs' runtime divergence (advisor r3) ----------
+
+
+def test_splice_preserves_other_programs_runtime_level_and_color():
+    # The reference persists all programs' diverged annotations as edits
+    # inside splice (programs.rs annotation_edits, ~:1148-1158) so runtime
+    # state survives a text edit to any OTHER program.
+    ps = build(THREE)
+    ps.programs[0].level_db = -9.0
+    ps.programs[2].color = (10, 20, 30)
+    assert ps.splice(1, "3") is None
+    assert ps.programs[0].level_db == -9.0
+    assert ps.programs[2].color == (10, 20, 30)
+    # ... and the divergence landed in the source (survives a reload).
+    reloaded = build(ps.source)
+    assert reloaded.programs[0].level_db == -9.0
+    assert reloaded.programs[2].color == (10, 20, 30)
+
+
+def test_splice_preserves_other_programs_slider_positions_in_source():
+    ps = build('#{sliders=["g:0.5:0:1"]}\n_ = 2 * g;\n'
+               "#{level_db=0}\n_ = 2;\n")
+    ps.programs[0].sliders.normalized_values[0] = 0.25
+    assert ps.splice(1, "3") is None
+    assert ps.programs[0].sliders.normalized_values[0] == 0.25
+    assert build(ps.source).programs[0].sliders.normalized_values[0] == 0.25
+
+
+def test_splice_own_program_keeps_its_runtime_level():
+    ps = build(THREE)
+    ps.programs[1].level_db = -4.5
+    assert ps.splice(1, "42") is None
+    assert ps.programs[1].text == "42"
+    assert ps.programs[1].level_db == -4.5
+    assert build(ps.source).programs[1].level_db == -4.5
+
+
+def test_deletion_still_persists_survivors_divergence():
+    ps = build(THREE)
+    ps.programs[0].level_db = -7.0
+    assert ps.splice(1, "") is None
+    assert slots(ps) == [0, 2]
+    assert ps.programs[0].level_db == -7.0
+    assert build(ps.source).programs[0].level_db == -7.0
+
+
+# -- annotation groups located by parsed spans, not regex (advisor r3) --------
+
+BRACES = ('#{sliders=["g:0.5:fn(x) => {[x]}"],level_db=0}\n_ = 2 * g;\n'
+          "#{level_db=0}\n_ = 2;\n")
+
+
+def test_insert_next_to_braceful_sliders_annotation():
+    # A '}' inside a sliders string must not truncate the located group
+    # (the old regex scan failed the whole splice with a parse error).
+    ps = build("#{level_db=0}\n_ = 1;\n"
+               '#{skip_slots=1,sliders=["g:0.5:fn(x) => {[x]}"]}\n'
+               "_ = 2 * g;\n")
+    assert slots(ps) == [0, 2]
+    assert ps.splice(1, "9") is None
+    assert slots(ps) == [0, 1, 2]
+    assert slots(build(ps.source)) == [0, 1, 2]
+    # The braceful slider annotation survived the group rewrite intact.
+    assert 'fn(x) => {[x]}' in ps.source
+
+
+def test_delete_before_braceful_sliders_annotation_compensates_skip():
+    ps = build(BRACES)
+    assert slots(ps) == [0, 1]
+    assert ps.splice(0, "") is None
+    assert slots(ps) == [1]
+    assert "skip_slots=1" in ps.source
+    assert slots(build(ps.source)) == [1]
+
+
+def test_persist_braceful_sliders_annotation():
+    ps = build(BRACES)
+    ps.programs[0].sliders.normalized_values[0] = 0.75
+    assert ps.persist_annotations(0) is None
+    assert '"g:0.75:fn(x) => {[x]}"' in ps.source
+    assert build(ps.source).programs[0].sliders.normalized_values[0] == 0.75
+
+
+def test_multiple_annotation_groups_collapse_to_one_on_persist():
+    ps = build("#{color=rgb(1, 2, 3)} #{level_db=0}\n_ = 1;\n")
+    assert ps.programs[0].color == (1, 2, 3)
+    ps.programs[0].level_db = -3.0
+    assert ps.persist_annotations(0) is None
+    assert ps.source.count("#{") == 1
+    rp = build(ps.source).programs[0]
+    assert rp.color == (1, 2, 3) and rp.level_db == -3.0

@@ -308,6 +308,12 @@ class SourceBinding:
     binding: Binding
     annotations: List[Annotation] = field(default_factory=list)
     span: Optional[Span] = None
+    # Absolute (start, end) of each `#{...}` annotation group in the
+    # source, in parse order.  Annotation rewrites (splice/persist) edit
+    # these spans directly — a regex scan over the binding text truncates
+    # at the first '}' inside a sliders string (the reference keeps
+    # parsed per-annotation spans for the same reason, programs.rs:729).
+    anno_spans: List[Tuple[int, int]] = field(default_factory=list)
 
 
 def definition(name: str, expr: Expr) -> SourceBinding:

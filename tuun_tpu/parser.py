@@ -278,11 +278,14 @@ class Parser:
         if self.pos == len(self.src):
             raise self.fail()
         annos: List[Annotation] = []
+        anno_spans: List[Tuple[int, int]] = []
         while True:
+            aset_start = self.pos
             got = self.attempt(self.parse_annotation_set)
             if got is None:
                 break
             annos.extend(got)
+            anno_spans.append((aset_start, self.pos))
             self.trivia0()
 
         def open_binding():
@@ -308,7 +311,7 @@ class Parser:
                 expr.span = self._span(estart)
             binding = BDef(pattern, expr)
         self.trivia0()
-        return SourceBinding(binding, annos, self._span(start))
+        return SourceBinding(binding, annos, self._span(start), anno_spans)
 
     def parse_let(self) -> Expr:
         start = self.pos

@@ -117,34 +117,71 @@ class ProgramSet:
                          if self.programs[i].span is not None), None)
         return prev_pos, next_pos
 
-    def _annotation_group_edit(self, slot: int, skip_slots: int
-                               ) -> Optional[Tuple[int, int, str]]:
-        """The (start, end, replacement) source edit that rewrites slot
-        `slot`'s binding annotation group so it carries `skip_slots` (the
-        reference's skip_slots_edit, programs.rs:808-840). Regenerates the
-        whole `#{...}` group from the program's live state; when the group
-        would otherwise be empty, `level_db` is emitted so the binding
-        keeps its any-annotation-makes-a-UI-program status."""
-        import re
+    def _annotation_edits(self, slot: int, skip_slots: Optional[int] = None,
+                          force: bool = False) -> List[Tuple[int, int, str]]:
+        """Source edits rewriting slot `slot`'s annotation group(s) from
+        the program's live state.  The first parsed `#{...}` group (by its
+        parse-time span — a regex over the binding text truncates at a
+        '}' inside a sliders string) is replaced with the regenerated set;
+        any additional groups are deleted (the regenerated set already
+        carries every annotation).  An un-annotated binding gains a fresh
+        group line only when there is something to say."""
         program = self.programs[slot]
         sb = self.bindings[program.binding_index]
-        if _read_skip_slots(sb) == skip_slots:
-            return None
         if sb.span is None:
-            return None
-        text = self.source[sb.span.start:sb.span.end]
+            return []
+        has_group = bool(sb.anno_spans)
         new_anno = self.annotation_text(slot, skip_slots=skip_slots,
-                                        force=True)
-        m = re.search(r"#\{.*?\}", text, re.DOTALL)
-        if m:
-            return (sb.span.start + m.start(), sb.span.start + m.end(),
-                    new_anno)
-        if skip_slots <= 0:
-            return None
+                                        force=force or has_group)
+        if has_group:
+            s, e = sb.anno_spans[0]
+            edits = [(s, e, new_anno)]
+            edits += [(s2, e2, "") for (s2, e2) in sb.anno_spans[1:]]
+            return edits
+        if not new_anno:
+            return []
         # Un-annotated binding (all_bindings corpora): insert a fresh
         # annotation line before the first non-trivia char of the binding.
+        text = self.source[sb.span.start:sb.span.end]
         pos = sb.span.start + _trivia_len(text)
-        return (pos, pos, new_anno + "\n")
+        return [(pos, pos, new_anno + "\n")]
+
+    def _annotation_group_edit(self, slot: int, skip_slots: int
+                               ) -> List[Tuple[int, int, str]]:
+        """Edits that rewrite slot `slot`'s annotation group so it carries
+        `skip_slots` (the reference's skip_slots_edit,
+        programs.rs:808-840); empty when the binding already does (any
+        runtime divergence is then the divergence pass's job).  `level_db`
+        is force-emitted so the regenerated group is never empty and the
+        binding keeps its any-annotation-makes-a-UI-program status."""
+        sb = self.bindings[self.programs[slot].binding_index]
+        if _read_skip_slots(sb) == skip_slots:
+            return []
+        if not sb.anno_spans and skip_slots <= 0:
+            return []
+        return self._annotation_edits(slot, skip_slots=skip_slots,
+                                      force=True)
+
+    def _diverged(self, index: int) -> bool:
+        """Does program `index`'s runtime state (level, color, slider
+        positions) differ from what its source annotations parse back to?
+        (The reference's ANNOTATION_EPSILON contract: a save never
+        rewrites a binding whose runtime state still matches its
+        source.)"""
+        program = self.programs[index]
+        sb = self.bindings[program.binding_index]
+        base = _program_from_binding(sb, program.binding_index, self.source,
+                                     self._all_bindings)
+        if base is None:
+            return True
+        eps = 1e-4
+        return not (abs(base.level_db - program.level_db) <= eps
+                    and base.color == program.color
+                    and len(base.sliders.normalized_values)
+                    == len(program.sliders.normalized_values)
+                    and all(abs(a - b) <= eps for a, b in
+                            zip(base.sliders.normalized_values,
+                                program.sliders.normalized_values)))
 
     def splice(self, index: int, new_text: str) -> Optional[str]:
         """Replaces program `index`'s expression text in the source and
@@ -167,6 +204,7 @@ class ProgramSet:
         is_deletion = (not is_new) and not new_text.strip()
 
         edits: List[Tuple[int, int, str]] = []
+        rewritten = set()  # slots whose annotation group is already edited
         if is_new:
             if not new_text.strip():
                 return None  # padding slot still empty — nothing to do
@@ -184,10 +222,11 @@ class ProgramSet:
             if next_pos is not None:
                 nb = self.bindings[self.programs[next_pos].binding_index]
                 anchor = nb.span.start
-                edit = self._annotation_group_edit(
+                more = self._annotation_group_edit(
                     next_pos, next_pos - index - 1)
-                if edit is not None:
-                    edits.append(edit)
+                if more:
+                    edits.extend(more)
+                    rewritten.add(next_pos)
             else:
                 anchor = len(self.source)
             prefix = "" if anchor == 0 or self.source[anchor - 1] == "\n" \
@@ -209,16 +248,29 @@ class ProgramSet:
             # trivia (spans start at leading trivia) and the separation
             # that remains after this binding's own leading "\n" goes.
             edits.append((sb.span.start, end, ""))
+            rewritten.add(index)
             prev_pos, next_pos = self._ui_neighbors(index)
             if next_pos is not None:
                 next_skip = next_pos - prev_pos - 1 \
                     if prev_pos is not None else next_pos
-                edit = self._annotation_group_edit(next_pos, next_skip)
-                if edit is not None:
-                    edits.append(edit)
+                more = self._annotation_group_edit(next_pos, next_skip)
+                if more:
+                    edits.extend(more)
+                    rewritten.add(next_pos)
         else:
             start, end = program.span
             edits.append((start, end, new_text))
+
+        # The reference persists every program's diverged runtime
+        # annotations as part of splice (programs.rs annotation_edits,
+        # ~:1148-1158) and realigns Program objects in place; this model
+        # rebuilds from the re-parsed source, so divergence (level, color,
+        # slider moves) must land in the source or the rebuild resets it.
+        for i, p in enumerate(self.programs):
+            if i in rewritten or p.span is None or p.is_empty():
+                continue
+            if self._diverged(i):
+                edits.extend(self._annotation_edits(i))
 
         new_source = self.source
         for start, end, replacement in sorted(edits, reverse=True):
@@ -232,14 +284,21 @@ class ProgramSet:
             return errors[0].message
         fresh, _ = ProgramSet.from_source(new_source, self.input_path,
                                           all_bindings=self._all_bindings)
-        # Keep slider positions for unchanged labels (slots are stable by
-        # construction: skip_slots compensation above).
+        # Carry exact runtime state across the rebuild (slots are stable
+        # by construction: skip_slots compensation above).  The annotation
+        # edits above already put the values in the source, but _fmt
+        # rounds floats; the live objects keep full precision.  Slider
+        # positions carry by label so a splice that renames a slider gets
+        # the fresh initial value.
         for old_p, new_p in zip(self.programs, fresh.programs):
             by_label = dict(zip((c.label for c in old_p.sliders.configs),
                                 old_p.sliders.normalized_values))
             for i, c in enumerate(new_p.sliders.configs):
                 if c.label in by_label:
                     new_p.sliders.normalized_values[i] = by_label[c.label]
+            if old_p.span is not None and new_p.span is not None:
+                new_p.level_db = old_p.level_db
+                new_p.color = old_p.color
         self.source = fresh.source
         self.bindings = fresh.bindings
         self.programs = fresh.programs
@@ -282,7 +341,6 @@ class ProgramSet:
         """Rewrites program `index`'s annotation set in the source so live
         slider/level changes survive a reload (the reference's S-key save
         path). Returns an error message or None."""
-        import re
         program = self.programs[index]
         sb = self.bindings[program.binding_index]
         if sb.span is None:
@@ -290,32 +348,18 @@ class ProgramSet:
         # No divergence from the parsed annotations -> no edit (the
         # reference's ANNOTATION_EPSILON contract: a save never rewrites
         # a binding whose runtime state still matches its source).
-        base = _program_from_binding(sb, program.binding_index, self.source,
-                                     self._all_bindings)
-        if base is not None:
-            eps = 1e-4
-            same = (abs(base.level_db - program.level_db) <= eps
-                    and base.color == program.color
-                    and len(base.sliders.normalized_values)
-                    == len(program.sliders.normalized_values)
-                    and all(abs(a - b) <= eps for a, b in
-                            zip(base.sliders.normalized_values,
-                                program.sliders.normalized_values)))
-            if same:
-                return None
-        text = self.source[sb.span.start:sb.span.end]
-        m = re.search(r"#\{.*?\}", text, re.DOTALL)
-        # An existing group never vanishes (force): dropping the last
-        # annotation would silently demote the binding from UI program.
-        new_anno = self.annotation_text(index, force=m is not None)
-        if m:
-            new_text = text[:m.start()] + new_anno + text[m.end():]
-        elif new_anno:
-            new_text = new_anno + "\n" + text
-        else:
+        if not self._diverged(index):
             return None
-        new_source = (self.source[:sb.span.start] + new_text +
-                      self.source[sb.span.end:])
+        # An existing group never vanishes (_annotation_edits forces
+        # level_db then): dropping the last annotation would silently
+        # demote the binding from UI program.
+        edits = self._annotation_edits(index)
+        if not edits:
+            return None
+        new_source = self.source
+        for start, end, replacement in sorted(edits, reverse=True):
+            new_source = (new_source[:start] + replacement +
+                          new_source[end:])
         try:
             bindings, errors = parser.parse_module(new_source, Source.file())
         except TuunError as e:
@@ -327,6 +371,9 @@ class ProgramSet:
         for old_p, new_p in zip(self.programs, fresh.programs):
             new_p.sliders.normalized_values = list(
                 old_p.sliders.normalized_values)
+            if old_p.span is not None and new_p.span is not None:
+                new_p.level_db = old_p.level_db
+                new_p.color = old_p.color
         self.source = fresh.source
         self.bindings = fresh.bindings
         self.programs = fresh.programs
