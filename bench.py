@@ -221,6 +221,11 @@ def bench_polyphony(n_voices=256, seconds=4.0, block=1 << 17):
 WORKLOAD_NAMES = ["filter_1_1", "filter_1_1_linear", "filter_4_3",
                   "large_440", "marks_4_40", "poly_16"]
 
+# The streaming lane's lookahead window (= stated output latency, in
+# 1024-sample blocks).  See docs/design.md §6c for the measured
+# K -> headroom/latency curve behind this default.
+STREAM_K = 32
+
 
 def bench_instrument(expr="harmonica(10.0, 440)", seconds=8.0,
                      block=1 << 19, audio_seconds=10.33):
@@ -266,9 +271,15 @@ def bench_instrument(expr="harmonica(10.0, 440)", seconds=8.0,
 
 
 def _streaming_tracker(n_voices, block, sync_interval):
+    """A live tracker with n_voices mixed steady voices plus the command
+    closures the injection script drives (the reference's live command
+    set, tracker.rs:16-38): note-on = Play, note-off/stop = Modify
+    Terminator with the 50 ms down-ramp, slider move = Modify under a
+    Marked(Slider) with a one-buffer ramp, level = Modify Amplitude."""
+    from tuun_tpu.ids import MarkId, WaveformId
+    from tuun_tpu.player import build_top_level_waveform, stop_ramp
+    from tuun_tpu.sliders import make_ramp
     from tuun_tpu.tracker import Tracker
-    from tuun_tpu.ids import WaveformId
-    from tuun_tpu.player import build_top_level_waveform
 
     ev = Evaluator(SAMPLE_RATE, 120, STDLIB)
 
@@ -278,42 +289,92 @@ def _streaming_tracker(n_voices, block, sync_interval):
             out = out.waveform
         return optimizer.optimize(out.waveform)
 
-    # Steady-state streaming: every voice outlives the run (a retiring
-    # voice changes the fused-set key mid-measurement).
+    # Steady-state set: every voice outlives the run (retirement only
+    # happens to the injected notes).  Voice 3 carries a live slider
+    # mark so the slider command exercises the reference's flow.
     exprs = ["triangle(55) + (noise * 0.2) | fin(time - 3600)",
              "sine(2*pi * 220, 3 * sine(2*pi * 110, 0)) * 0.2"
              " | fin(time - 3600)",
              "sawtooth(110) | lpf(0.9, 1800)",
              "$330 | ADSR(0.01, 0.2, 0.6, 3000.0, 0.5)"]
+    steady = []
+    for i in range(n_voices):
+        w = from_expr(exprs[i % 4])
+        if i % 4 == 3:
+            w = ir.BinaryPointOp(
+                ir.Operator.MULTIPLY, w,
+                ir.Marked(MarkId.slider("g"), ir.Const(0.8)))
+        steady.append((WaveformId.program(i),
+                       build_top_level_waveform(w, 0.0)))
+    note_w = build_top_level_waveform(
+        from_expr("sine(2*pi * 392, 0) * 0.25"), 0.0)
     tracker = Tracker(SAMPLE_RATE, block, precision="fast", jit=True,
                       sync_interval=sync_interval)
-    # Deterministic measurement: compile the fused session step inside
-    # the warmup instead of racing it on the background thread.
+    # Rehearsal compiles fused/window executables inline (deterministic);
+    # the paced phase flips this off so any un-rehearsed set change
+    # degrades to the per-voice path instead of blocking on a compile.
     tracker.fuse_blocking = True
-    for i in range(n_voices):
-        tracker.play(WaveformId.program(i),
-                     build_top_level_waveform(from_expr(exprs[i % 4]), 0.0))
-    # Warm the compile caches (fused step, window fn, pack jits).
-    for _ in range(3 * sync_interval):
-        tracker.render_block()
-    return tracker
+    block_secs = block / SAMPLE_RATE
+    cmds = {
+        "note_on": lambda: tracker.play(WaveformId.key(60), note_w),
+        "note_off": lambda: tracker.modify(WaveformId.key(60),
+                                           MarkId.TERMINATOR, stop_ramp()),
+        "slider": lambda: tracker.modify(
+            WaveformId.program(3 % n_voices), MarkId.slider("g"),
+            make_ramp(0.8, 0.5, block_secs)),
+        "level": lambda: tracker.modify(
+            WaveformId.program(0), MarkId.AMPLITUDE,
+            make_ramp(1.0, 0.707, block_secs)),
+    }
+
+    def play_steady():
+        for wid, w in steady:
+            tracker.play(wid, w)
+        for _ in range(3 * max(2, sync_interval)):
+            tracker.render_block()
+
+    play_steady()
+    return tracker, play_steady, cmds
 
 
-def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=32):
+# The injected live-command script: the reference drains commands every
+# 23 ms callback while never missing the buffer (tracker.rs:321-368);
+# this is that contract under test.  Each command lands mid-window,
+# interrupt-replays served sub-blocks, and walks the fused-set key
+# through note voices appearing, dropping to the stateful path on
+# Modify, and retiring — the full live state machine.
+STREAM_SCRIPT = ["note_on", "slider", "note_off", "level",
+                 "note_on", "note_off"]
+
+
+def _script_positions(n_paced: int, K: int, min_gap: int = 36):
+    gap = max(K + 8, min_gap, n_paced // (len(STREAM_SCRIPT) + 1))
+    return {K + 4 + i * gap: name
+            for i, name in enumerate(STREAM_SCRIPT)
+            if K + 4 + i * gap < n_paced - 2}
+
+
+def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=32,
+                    inject=True, paced_seconds=4.0, min_gap=36):
     """Headline lane: the reference's actual operating point — the live
     Tracker streaming 1024-sample blocks (44.1 kHz mono, the tracker.rs
     callback contract, tracker_load < 1.0 == >= 1x headroom here) with
     several mixed voices, lookahead windows, and pipelined syncs.
 
     Phase 1 measures free-running throughput (headroom = sps /
-    sample_rate).  Phase 2 replays the loop paced against a wall clock
-    with the lookahead window as the stated output latency — every
-    block's host handoff must land before its deadline; misses are
-    counted and reported (and must be zero for the lane to be healthy).
+    sample_rate).  Phase 2 REHEARSES the live-command script unpaced
+    (compiling every fused-set/window executable the set walk needs —
+    the analogue of the reference's precompute route, which also never
+    compiles at note-on), resets to the steady set, then replays the
+    loop paced against a wall clock WITH the commands injected at their
+    scripted blocks.  Every block's host handoff must land before its
+    deadline (misses must be zero) and each command must be audible
+    within the stated output window + 2 blocks.
     """
     import jax
 
-    tracker = _streaming_tracker(n_voices, block, sync_interval)
+    tracker, play_steady, cmds = _streaming_tracker(n_voices, block,
+                                                    sync_interval)
     n_blocks = max(4 * sync_interval, int(seconds * SAMPLE_RATE / block))
     n_blocks -= n_blocks % sync_interval  # end on a sync boundary
     t0 = time.perf_counter()
@@ -323,24 +384,54 @@ def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=32):
     dt = time.perf_counter() - t0
     sps = n_blocks * block / dt
 
+    block_secs = block / SAMPLE_RATE
+    K = sync_interval
+    n_paced = max(2 * sync_interval,
+                  (len(STREAM_SCRIPT) + 1) * max(K + 8, min_gap),
+                  int(paced_seconds * SAMPLE_RATE / block))
+    n_paced -= n_paced % sync_interval
+    inject_at = _script_positions(n_paced, K, min_gap) if inject else {}
+
+    if inject:
+        # Rehearsal: identical command walk, unpaced.  Every fused-set
+        # key, window executable, modified-structure compile, and
+        # state-reconstruction path the paced phase will touch gets
+        # compiled here, exactly once.
+        for k in range(n_paced):
+            name = inject_at.get(k)
+            if name:
+                cmds[name]()
+            tracker.render_block()
+        # Reset to the steady set (same compiled objects -> same cache
+        # keys; the fused/window caches survive stop_all).
+        tracker.stop_all()
+        play_steady()
+        tracker.fuse_blocking = False
+
     # Wall-clock paced run: the serve path must hand each block off
     # before its deadline.  The lookahead window K is the pipeline's
     # output latency (one window is in flight), so block k is due at
     # t0 + (k+1+K)*block_secs — the audio-callback contract with a
-    # K-block ring buffer.  A miss = the handoff completed late.
-    block_secs = block / SAMPLE_RATE
-    K = sync_interval
-    n_paced = max(2 * sync_interval, int(4.0 * SAMPLE_RATE / block))
-    n_paced -= n_paced % sync_interval
+    # K-block ring buffer.  A miss = the handoff completed late.  A
+    # command issued right before block k is audible when the ring
+    # consumer plays block k: at k's deadline (or its late handoff).
     misses = 0
     worst = float("-inf")  # most-negative slack observed
+    latencies = []
     t0 = time.perf_counter()
     for k in range(n_paced):
+        name = inject_at.get(k)
+        t_cmd = None
+        if name:
+            t_cmd = time.perf_counter()
+            cmds[name]()
         y, status = tracker.render_block()
         now = time.perf_counter()
         deadline = t0 + (k + 1 + K) * block_secs
         late = now - deadline
         worst = max(worst, late)
+        if t_cmd is not None:
+            latencies.append((name, max(deadline, now) - t_cmd))
         if late > 0:
             misses += 1
         elif (k + 1) % 8 == 0:
@@ -349,12 +440,16 @@ def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=32):
             ahead = deadline - block_secs * K - now
             if ahead > 0:
                 time.sleep(min(ahead, 0.25))
+    max_lat = max((lat for _, lat in latencies), default=0.0)
+    lat_str = ", ".join(f"{name}={lat * 1e3:.0f}ms"
+                        for name, lat in latencies)
     print(f"# streaming_tracker_{n_voices}v: {sps / 1e6:.1f} Msamples/s "
           f"({sps / SAMPLE_RATE:.0f}x realtime headroom at {block}-sample "
-          f"blocks, {n_voices} voices; paced {n_paced} blocks, "
-          f"{misses} deadline misses, worst slack {-worst * 1e3:.1f} ms)",
-          file=sys.stderr)
-    return sps, misses
+          f"blocks, {n_voices} voices, K={K}; paced {n_paced} blocks, "
+          f"{misses} deadline misses, worst slack {-worst * 1e3:.1f} ms; "
+          f"{len(latencies)} commands injected, cmd->audible "
+          f"[{lat_str}]", file=sys.stderr)
+    return sps, misses, max_lat, latencies
 
 
 def bench_corpus(render_samples=22050):
@@ -385,9 +480,11 @@ def run_one(name: str) -> int:
         sps = bench_polyphony(256)
     elif name == "instrument":
         sps = bench_instrument()
-    elif name == "streaming":
-        sps, misses = bench_streaming()
-        print(f"RESULT {sps} {misses}")
+    elif name == "streaming" or name.startswith("streaming_k"):
+        k = int(name[len("streaming_k"):]) if name != "streaming" \
+            else STREAM_K
+        sps, misses, max_lat, _ = bench_streaming(sync_interval=k)
+        print(f"RESULT {sps} {misses} {max_lat}")
         return 0
     elif name == "corpus":
         ok, fail = bench_corpus()
@@ -444,7 +541,10 @@ def main():
     # Streaming is a GATED headline lane (the reference's operating
     # contract, tracker.rs:342-345): three consecutive fresh-subprocess
     # runs, the minimum headroom participates in the geomean, and every
-    # run must serve its paced blocks with zero deadline misses.
+    # run must serve its paced blocks — WITH the live-command script
+    # injected mid-run — with zero deadline misses and every command
+    # audible within the stated output window + 2 blocks.
+    lat_budget = (STREAM_K + 2) * 1024 / SAMPLE_RATE
     streaming_runs = []
     for attempt in range(5):
         if len(streaming_runs) >= 3:
@@ -453,24 +553,31 @@ def main():
             proc = subprocess.run(
                 [sys.executable, __file__, "--one", "streaming"],
                 capture_output=True, text=True, timeout=600)
-            sps = misses = None
+            sps = misses = max_lat = None
             for line in proc.stdout.splitlines():
                 if line.startswith("RESULT "):
                     parts = line.split()
                     sps, misses = float(parts[1]), int(parts[2])
+                    max_lat = float(parts[3])
             for line in proc.stderr.splitlines():
                 if line.startswith("# streaming"):
                     print(line, file=sys.stderr)
             if sps is not None:
-                streaming_runs.append((sps, misses))
+                streaming_runs.append((sps, misses, max_lat))
         except Exception as exc:  # pragma: no cover
             print(f"# streaming run {attempt} FAILED: {exc}",
                   file=sys.stderr)
-    if len(streaming_runs) == 3 and all(m == 0 for _, m in streaming_runs):
-        results["streaming_tracker_4v"] = min(s for s, _ in streaming_runs)
+    if len(streaming_runs) == 3 and \
+            all(m == 0 for _, m, _ in streaming_runs) and \
+            all(lat <= lat_budget for _, _, lat in streaming_runs):
+        results["streaming_tracker_4v"] = min(s for s, _, _ in
+                                              streaming_runs)
         print(f"# streaming gate: min of 3 runs = "
               f"{results['streaming_tracker_4v'] / SAMPLE_RATE:.0f}x "
-              f"headroom, 0 deadline misses", file=sys.stderr)
+              f"headroom, 0 deadline misses, worst cmd->audible "
+              f"{max(lat for _, _, lat in streaming_runs) * 1e3:.0f} ms "
+              f"(budget {lat_budget * 1e3:.0f} ms, K={STREAM_K})",
+              file=sys.stderr)
     else:
         # A gate failure must SHOW in the headline metric, not vanish
         # from the geomean: deadline misses mean the realtime contract
@@ -479,7 +586,7 @@ def main():
         # from missed-deadline runs still prints above for diagnosis.
         results["streaming_tracker_4v"] = float(SAMPLE_RATE)
         print(f"# streaming gate FAILED (lane scored 1x realtime): runs="
-              f"{[(round(s / SAMPLE_RATE), m) for s, m in streaming_runs]}",
+              f"{[(round(s / SAMPLE_RATE), m, round(lat, 3)) for s, m, lat in streaming_runs]}",
               file=sys.stderr)
 
     for extra, tag in (("poly_voices", "# poly_voices"),
