@@ -434,9 +434,11 @@ def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=32,
             latencies.append((name, max(deadline, now) - t_cmd))
         if late > 0:
             misses += 1
-        elif (k + 1) % 8 == 0:
+        else:
             # Pace: sleep up to the production point of the NEXT block
-            # (stay K blocks ahead, like a real ring buffer writer).
+            # (stay exactly K blocks ahead, like a real ring-buffer
+            # writer with per-block backpressure — coarser pacing lets
+            # production burst ahead and distorts command latency).
             ahead = deadline - block_secs * K - now
             if ahead > 0:
                 time.sleep(min(ahead, 0.25))

@@ -1,0 +1,213 @@
+"""Host PCM output (tuun_tpu.audio): the StreamPump owns the tracker on
+an audio thread, drains marshaled commands at block boundaries, paces
+blocks against the wall clock, and delivers landed PCM to a sink — the
+reference's SDL2 audio-callback contract (main.rs:99-110,
+tracker.rs:314-368) driven against a fake sink.
+
+Engines run jitted and pre-warmed before going live: eager mode pays an
+op-by-op dispatch per block (seconds of wall time), which would swamp
+the pacing these tests pin down."""
+
+import io
+import time
+from pathlib import Path
+
+import numpy as np
+
+from tuun_tpu import audio
+from tuun_tpu.evaluator import Evaluator
+from tuun_tpu.expr import ESeq
+from tuun_tpu.ids import MarkId, WaveformId
+from tuun_tpu.optimizer import optimize
+from tuun_tpu.player import build_top_level_waveform, stop_ramp
+from tuun_tpu.tracker import Tracker
+
+STDLIB = Path(__file__).resolve().parent.parent / "tuun_tpu" / "stdlib" / "v0"
+SR = 8000
+BLOCK = 256
+BS = BLOCK / SR
+
+
+class FakeSink(audio.AudioSink):
+    def __init__(self):
+        self.blocks = []
+        self.times = []
+        self.closed = False
+
+    def write(self, block):
+        self.blocks.append(np.asarray(block, np.float32).copy())
+        self.times.append(time.perf_counter())
+
+    def close(self):
+        self.closed = True
+
+    def pcm(self):
+        return np.concatenate(self.blocks) if self.blocks else \
+            np.zeros(0, np.float32)
+
+
+def _wave(text):
+    ev = Evaluator(SR, 120, STDLIB)
+    out = ev.evaluate_source(text, opens=("std",))
+    if isinstance(out, ESeq):
+        out = out.waveform
+    return build_top_level_waveform(optimize(out.waveform), 0.0)
+
+
+def _tracker(**kw):
+    kw.setdefault("precision", "fast")
+    kw.setdefault("jit", True)
+    return Tracker(SR, BLOCK, **kw)
+
+
+def test_pump_delivers_the_same_pcm_as_an_offline_render():
+    w = _wave("$330 * 0.5")
+    tracker = _tracker()
+    tracker.play(WaveformId.program(0), w)
+    twin = _tracker()
+    twin.play(WaveformId.program(0), w)
+    # Warm the jitted render path on both (compiles must not land inside
+    # the paced phase), keeping the two trackers position-aligned.
+    for t in (tracker, twin):
+        for _ in range(3):
+            t.render_block()
+    sink = FakeSink()
+    pump = audio.StreamPump(tracker, sink)
+    pump.start()
+    try:
+        time.sleep(20 * BS)
+    finally:
+        pump.stop()
+    assert sink.closed
+    assert pump.error is None
+    got = sink.pcm()
+    assert len(got) >= 12 * BLOCK  # paced: ~1 block per block_secs
+    want = []
+    for _ in range(len(got) // BLOCK):
+        y, _ = twin.render_block()
+        want.append(np.asarray(y, np.float32))
+    np.testing.assert_allclose(got, np.concatenate(want), atol=1e-6)
+    # An idle host with a warm engine never misses its ring deadline.
+    assert pump.underruns == 0
+
+
+def test_pump_paces_against_the_wall_clock():
+    sink = FakeSink()
+    tracker = _tracker()  # idle: renders host silence
+    pump = audio.StreamPump(tracker, sink)
+    pump.start()
+    try:
+        time.sleep(30 * BS)
+    finally:
+        pump.stop()
+    n = len(sink.blocks)
+    # Paced production: ~1 block per block_secs of wall time, never an
+    # unbounded sprint.
+    assert 20 <= n <= 38 + pump.ring
+    assert pump.blocks_out == n
+
+
+def test_commands_marshal_onto_the_audio_thread():
+    w = _wave("$330 * 0.5")
+    note = _wave("$392 * 0.25")
+    # Pre-warm every structure the live phase will touch (including the
+    # post-Modify stop-ramp structure) on a scratch tracker: compiled
+    # voices are shared process-wide, so the live phase hits caches.
+    scratch = _tracker(sync_interval=4)
+    scratch.play(WaveformId.program(0), w)
+    scratch.play(WaveformId.key(60), note)
+    for _ in range(6):
+        scratch.render_block()
+    scratch.modify(WaveformId.key(60), MarkId.TERMINATOR, stop_ramp())
+    for _ in range(30):
+        scratch.render_block()
+    scratch.close()
+
+    tracker = _tracker(sync_interval=4)
+    tracker.play(WaveformId.program(0), w)
+    for _ in range(6):
+        tracker.render_block()
+    sink = FakeSink()
+    pump = audio.StreamPump(tracker, sink)
+    pump.start()
+    try:
+        time.sleep(4 * BS)
+        # call(): runs on the audio thread, returns the value.
+        assert pump.call(lambda: len(tracker.active)) == 1
+        pump.call(lambda: tracker.play(WaveformId.key(60), note))
+        time.sleep(4 * BS)
+        assert pump.call(lambda: len(tracker.active)) == 2
+        pump.call(lambda: tracker.modify(
+            WaveformId.key(60), MarkId.TERMINATOR, stop_ramp()))
+        # The stopped note (50 ms ramp at 8 kHz = 400 samples) retires.
+        deadline = time.time() + 120 * BS
+        while time.time() < deadline:
+            if pump.call(lambda: len(tracker.active)) == 1:
+                break
+            time.sleep(2 * BS)
+        assert pump.call(lambda: len(tracker.active)) == 1
+        # Exceptions inside a command surface at the caller.
+        try:
+            pump.call(lambda: 1 / 0)
+            raise AssertionError("expected ZeroDivisionError")
+        except ZeroDivisionError:
+            pass
+    finally:
+        pump.stop()
+    assert pump.error is None
+    assert len(sink.pcm()) >= 8 * BLOCK
+
+
+def test_pcm_file_sink_roundtrip(tmp_path):
+    path = tmp_path / "out.pcm"
+    sink = audio.PCMFileSink(path)
+    data = np.linspace(-1, 1, 64, dtype=np.float32)
+    sink.write(data)
+    sink.close()
+    back = np.frombuffer(path.read_bytes(), "<f4")
+    np.testing.assert_array_equal(back, data)
+
+
+def test_open_sink_prefers_pcm_path(tmp_path):
+    sink, desc = audio.open_sink(SR, BLOCK, pcm_path=str(tmp_path / "a.pcm"))
+    assert isinstance(sink, audio.PCMFileSink)
+    assert "a.pcm" in desc
+    sink.close()
+
+
+def test_repl_goes_live_and_refuses_offline_renders(tmp_path, monkeypatch):
+    from tuun_tpu.repl import Repl
+
+    src = tmp_path / "song.tuun"
+    src.write_text("open std;\n#{level_db=0}\n_ = $330 * 0.5;\n")
+    sink = FakeSink()
+    monkeypatch.setattr(audio, "open_sink",
+                        lambda sr, bl, pcm_path=None: (sink, "fake sink"))
+    out = io.StringIO()
+    r = Repl(sample_rate=SR, tempo=60, buffer_size=BLOCK,
+             library_root=STDLIB, precision="fast", jit=True, out=out)
+    r.dispatch(f"load {src}")
+    # Warm the program's compiled path before going live.
+    r.dispatch("play A1")
+    r.dispatch("render 0.2")
+    r.dispatch("audio start")
+    try:
+        assert "audio started" in out.getvalue()
+        assert r.tracker.sync_interval == audio.STREAM_SYNC_INTERVAL
+        time.sleep(8 * BS)
+        r.dispatch("render 0.1")  # refused while live
+        assert "audio is live" in out.getvalue()
+        r.dispatch("audio status")
+        assert "underruns" in out.getvalue()
+    finally:
+        r.dispatch("audio stop")
+    assert "audio stopped" in out.getvalue()
+    assert sink.closed
+    # Live audio actually played the program (non-silent PCM landed).
+    pcm = sink.pcm()
+    assert len(pcm) > 0 and float(np.abs(pcm).max()) > 0.1
+    # Offline rendering works again; the sync cadence is restored.
+    assert r.tracker.sync_interval == 1
+    r.dispatch("render 0.1")
+    assert len(r.rendered[-1]) > 0
+    r.dispatch("quit")

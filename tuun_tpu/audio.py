@@ -1,0 +1,324 @@
+"""Host PCM output: the last inch from rendered blocks to a playing
+instrument.
+
+The reference opens an SDL2 audio device whose callback thread owns the
+Tracker and drains a command channel every 1024-sample buffer
+(/root/reference/src/main.rs:99-110, src/lib/tracker.rs:314-368).  The
+TPU rebuild's analogue is the StreamPump: an audio thread that owns the
+tracker, drains marshaled commands at every block boundary, renders
+paced against the wall clock with a stated output-latency ring, and
+hands landed PCM to a host sink.
+
+Sinks, in preference order:
+  * SoundDeviceSink — a real OS audio stream via the `sounddevice`
+    package (PortAudio), when importable and a device exists.
+  * PCMFileSink — raw float32-LE mono PCM into a path; point it at a
+    FIFO and play with e.g. `aplay -f FLOAT_LE -r 44100 -c 1 <fifo>`
+    (hosts without PortAudio — including this image, which has no
+    /dev/snd).  Writes are naturally paced by the pump.
+
+Device blocks batch one sync window per host fetch: the tunnel's ~30 ms
+round trip per device->host copy exceeds the 23 ms block budget, so a
+per-block fetch can never keep up — the writer thread fetches each
+packed window (one RTT per sync_interval blocks) and delivers its
+blocks to the sink against their deadlines, exactly the batching the
+tracker itself uses for valid-end scalars (tracker._stage_pending).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Any, Callable, List, Optional, Tuple
+
+import numpy as np
+
+
+class AudioSink:
+    """One mono float32 block sink.  write() may block (backpressure)."""
+
+    def write(self, block: np.ndarray) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class SoundDeviceSink(AudioSink):
+    """A real OS audio output via sounddevice/PortAudio (gated import)."""
+
+    def __init__(self, sample_rate: int, block_size: int):
+        import sounddevice as sd
+        self._stream = sd.OutputStream(
+            samplerate=sample_rate, channels=1, dtype="float32",
+            blocksize=block_size)
+        self._stream.start()
+
+    def write(self, block: np.ndarray) -> None:
+        self._stream.write(np.ascontiguousarray(block, np.float32))
+
+    def close(self) -> None:
+        try:
+            self._stream.stop()
+        finally:
+            self._stream.close()
+
+
+class PCMFileSink(AudioSink):
+    """Raw float32-LE mono PCM to a path (FIFO or file), unbuffered."""
+
+    def __init__(self, path):
+        self.path = str(path)
+        self._f = open(self.path, "wb", buffering=0)
+
+    def write(self, block: np.ndarray) -> None:
+        self._f.write(np.asarray(block, "<f4").tobytes())
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class NullSink(AudioSink):
+    """Discards audio (pacing/underrun accounting still runs)."""
+
+    def write(self, block: np.ndarray) -> None:
+        pass
+
+
+def open_sink(sample_rate: int, block_size: int,
+              pcm_path: Optional[str] = None
+              ) -> Tuple[Optional[AudioSink], str]:
+    """Best available sink: an explicit PCM path wins, else a real audio
+    device when sounddevice can open one, else (None, reason)."""
+    if pcm_path:
+        return PCMFileSink(pcm_path), f"raw float32 PCM -> {pcm_path}"
+    try:
+        sink = SoundDeviceSink(sample_rate, block_size)
+        return sink, "sounddevice output stream"
+    except Exception as e:
+        return None, (f"no audio device ({type(e).__name__}); "
+                      "use 'audio start PCM_PATH' for a raw-PCM FIFO")
+
+
+# The live-audio operating point: deferred syncs this deep keep the
+# per-block host cost at a buffer handoff on a high-latency device link
+# (see docs/design.md §6c and bench.py's gated streaming lane).
+STREAM_SYNC_INTERVAL = 32
+
+
+class StreamPump:
+    """The audio thread: owns the tracker, paces blocks against the wall
+    clock, drains marshaled commands every block (the reference's mpsc
+    Command channel into the callback, tracker.rs:321-329), and counts
+    underruns (a block handed to the sink after its deadline).
+
+    Output latency contract: block k is due at the sink at
+    t0 + (k + 1 + ring) * block_secs, where ring = lookahead window K
+    (blocks pre-rendered per dispatch) + sync_interval (fetch batching
+    granularity).  The producer stays ~ring blocks ahead of the clock;
+    the writer thread fetches each packed window and delivers it.
+    """
+
+    def __init__(self, tracker, sink: AudioSink, player=None,
+                 on_status: Optional[Callable[[Any], None]] = None):
+        self.tracker = tracker
+        self.sink = sink
+        self.player = player
+        self.on_status = on_status
+        self.block = tracker.block_size
+        self.sample_rate = tracker.sample_rate
+        self.block_secs = self.block / self.sample_rate
+        # Output latency ring: a block's PCM can only be handed over
+        # after its sync window's LAST block is produced (device blocks
+        # batch one window per host fetch), so the ring is the window
+        # depth plus a fetch/jitter margin.  The lookahead K does not
+        # add latency — windows render K blocks in one dispatch but
+        # production stays block-paced.
+        si = max(1, tracker.sync_interval)
+        self.ring = si + max(4, si // 4)
+        self.latency_secs = self.ring * self.block_secs
+        self.underruns = 0
+        self.blocks_out = 0
+        self.worst_late = float("-inf")
+        self._q: "queue.Queue[Tuple[Callable, Optional[threading.Event], List]]" \
+            = queue.Queue()
+        self._kick = threading.Event()
+        self._stop = threading.Event()
+        self._wq: "queue.Queue" = queue.Queue()
+        self._threads: List[threading.Thread] = []
+        self._t0 = None
+        self.error: Optional[BaseException] = None
+
+    # -- control --------------------------------------------------------
+
+    def start(self) -> None:
+        from . import _threads
+        # Loop workers: register as a closer (stop() signals and joins)
+        # rather than bare tracked threads — a pump left running at
+        # interpreter exit must be STOPPED, not joined as-is (it would
+        # otherwise pace forever and hold exit for the full join budget).
+        _threads.track_closer(self)
+        for name, target in (("tuun-audio", self._run),
+                             ("tuun-pcm-writer", self._writer)):
+            t = threading.Thread(target=target, daemon=True, name=name)
+            t.start()
+            self._threads.append(t)
+
+    def close(self) -> None:
+        """Shutdown-registry hook (idempotent)."""
+        if self._threads:
+            self.stop(close_sink=False)
+
+    def stop(self, close_sink: bool = True) -> None:
+        self._stop.set()
+        self._kick.set()
+        for t in self._threads:
+            t.join(timeout=30)
+        self._threads = []
+        if close_sink:
+            self.sink.close()
+
+    @property
+    def alive(self) -> bool:
+        return bool(self._threads) and all(t.is_alive()
+                                           for t in self._threads) \
+            and not self._stop.is_set()
+
+    def post(self, fn: Callable[[], Any]) -> None:
+        """Enqueues `fn` to run on the audio thread at the next block
+        boundary (fire-and-forget)."""
+        self._q.put((fn, None, []))
+        self._kick.set()
+
+    def call(self, fn: Callable[[], Any], timeout: float = 120.0):
+        """Runs `fn` on the audio thread and returns its result (or
+        re-raises its exception) — the synchronous command surface the
+        REPL uses so tracker state is only ever touched on one thread."""
+        done = threading.Event()
+        box: List[Any] = []
+        self._q.put((fn, done, box))
+        self._kick.set()
+        if not done.wait(timeout):
+            raise TimeoutError("audio thread did not pick up the command")
+        if box and isinstance(box[0], BaseException):
+            raise box[0]
+        return box[0] if box else None
+
+    # -- threads ---------------------------------------------------------
+
+    def _drain_commands(self) -> None:
+        while True:
+            try:
+                fn, done, box = self._q.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                box.append(fn())
+            except BaseException as e:  # surfaced at call()
+                box.append(e)
+            finally:
+                if done is not None:
+                    done.set()
+
+    def _run(self) -> None:
+        try:
+            self._run_inner()
+        except BaseException as e:  # pragma: no cover - device failures
+            self.error = e
+            self._stop.set()
+            self._wq.put(None)
+
+    def _run_inner(self) -> None:
+        import jax.numpy as jnp
+
+        tracker = self.tracker
+        si = max(1, tracker.sync_interval)
+        window: List = []
+        k0 = 0  # first block index of the accumulating window
+        k = 0
+        self._t0 = time.perf_counter()
+
+        def flush():
+            nonlocal window, k0
+            if window:
+                packed = window[0].reshape(1, -1) if len(window) == 1 \
+                    and isinstance(window[0], np.ndarray) \
+                    else jnp.stack(window)
+                try:
+                    packed.copy_to_host_async()
+                except Exception:
+                    pass
+                self._wq.put((k0, packed))
+                window = []
+            k0 = k
+
+        while not self._stop.is_set():
+            self._drain_commands()
+            if self.player is not None:
+                self.player.pump()
+            y, status = tracker.render_block()
+            if self.on_status is not None:
+                self.on_status(status)
+            if isinstance(y, np.ndarray):
+                # Host block (sync_interval == 1 or an idle tracker):
+                # ship it alone, keeping FIFO order with device windows.
+                flush()
+                window = [y]
+                k += 1
+                flush()
+            else:
+                # Count-based batching (one host fetch per sync_interval
+                # blocks): the tracker's own _since_sync freezes while a
+                # lookahead window is open, so it cannot drive the flush
+                # cadence here.
+                window.append(y)
+                k += 1
+                if len(window) >= si:
+                    flush()
+            # Pace: block k is produced not earlier than its stream time
+            # (the consumer plays it `ring` blocks later).  Wake early
+            # for commands — their latency budget is one block.
+            target = self._t0 + k * self.block_secs
+            while not self._stop.is_set():
+                ahead = target - time.perf_counter()
+                if ahead <= 0:
+                    break
+                if self._kick.wait(timeout=min(ahead, self.block_secs)):
+                    self._kick.clear()
+                    if not self._q.empty():
+                        self._drain_commands()
+        flush()  # deliver the partial window: no audio lost at stop
+        self._wq.put(None)
+
+    def _writer(self) -> None:
+        while True:
+            item = self._wq.get()
+            if item is None:
+                return
+            k0, packed = item
+            try:
+                arr = np.asarray(packed, np.float32).reshape(-1, self.block)
+            except Exception as e:  # pragma: no cover - device failures
+                self.error = e
+                self._stop.set()
+                return
+            for i, row in enumerate(arr):
+                deadline = self._t0 + \
+                    (k0 + i + 1 + self.ring) * self.block_secs
+                self.sink.write(row)
+                late = time.perf_counter() - deadline
+                self.worst_late = max(self.worst_late, late)
+                if late > 0:
+                    self.underruns += 1
+                self.blocks_out += 1
+
+    # -- reporting --------------------------------------------------------
+
+    def stats(self) -> dict:
+        return {"blocks_out": self.blocks_out,
+                "underruns": self.underruns,
+                "worst_late_ms": None if self.worst_late == float("-inf")
+                else round(self.worst_late * 1e3, 2),
+                "latency_ms": round(self.latency_secs * 1e3, 1),
+                "alive": self.alive}

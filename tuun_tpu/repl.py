@@ -57,6 +57,11 @@ class Repl:
         self.runner: Optional[EffectRunner] = None
         self.rendered: List[np.ndarray] = []
         self.running = True
+        # Live PCM output (audio.StreamPump): when running, it owns the
+        # tracker on its audio thread and every command marshals onto it
+        # at a block boundary (the reference's mpsc Command channel into
+        # the SDL2 callback, tracker.rs:321-329).
+        self.pump = None
 
     # ------------------------------------------------------------------
 
@@ -83,7 +88,13 @@ class Repl:
             self.log(f"unknown command: {cmd} (try 'help')")
             return
         try:
-            handler(*args)
+            if self.pump is not None and self.pump.alive and \
+                    cmd not in ("audio", "quit", "help"):
+                # Live audio: the tracker belongs to the audio thread;
+                # run the whole command there between blocks.
+                self.pump.call(lambda: handler(*args))
+            else:
+                handler(*args)
         except TuunError as e:
             self.log(f"error: {e}")
         except TypeError as e:
@@ -132,6 +143,11 @@ class Repl:
             "undo N / redo N      undo/redo program N's edits\n"
             "save [FILE]          persist annotations + write source\n"
             "dump N               print program N's optimized waveform IR\n"
+            "audio [start [PCM_PATH] | status | stop]\n"
+            "                     live audio output: a real device via\n"
+            "                     sounddevice when present, else raw\n"
+            "                     float32 PCM to PCM_PATH (a FIFO for\n"
+            "                     aplay -f FLOAT_LE -r 44100 -c 1)\n"
             "render SECS [FILE]   render the next SECS seconds (to WAV)\n"
             "view [SECS] [FPS]    render with a live scope/spectrum/HUD "
             "frame (terminal renderer)\n"
@@ -391,7 +407,72 @@ class Repl:
         else:
             self.log("\n".join(str(d) for d in ev.diagnostics))
 
+    def cmd_audio(self, action: str = "start", path: str = ""):
+        """Live PCM output.  While running, time advances by itself: play
+        a program and hear it — render/view are refused (the audio thread
+        is the one consumer of the block stream)."""
+        from . import audio
+        if action == "start":
+            if self.pump is not None and self.pump.alive:
+                self.log("audio already running")
+                return
+            sink, desc = audio.open_sink(self.tracker.sample_rate,
+                                         self.tracker.block_size,
+                                         pcm_path=path or None)
+            if sink is None:
+                self.log(f"audio unavailable: {desc}")
+                return
+            # Live streaming wants deferred syncs (per-block host cost =
+            # a buffer handoff); restore the offline default on stop.
+            self._audio_prev_sync = self.tracker.sync_interval
+            if self.tracker.sync_interval <= 1:
+                self.tracker.sync_interval = audio.STREAM_SYNC_INTERVAL
+            self.pump = audio.StreamPump(
+                self.tracker, sink, player=self.player,
+                on_status=(self.runner.observe_status
+                           if self.runner is not None else None))
+            self.pump.start()
+            self.log(f"audio started -> {desc} "
+                     f"(output latency {self.pump.latency_secs * 1e3:.0f} ms)")
+        elif action == "status":
+            if self.pump is None:
+                self.log("audio not running")
+            else:
+                s = self.pump.stats()
+                self.log(f"audio: {s['blocks_out']} blocks out, "
+                         f"{s['underruns']} underruns, worst late "
+                         f"{s['worst_late_ms']} ms, latency "
+                         f"{s['latency_ms']} ms, alive={s['alive']}")
+                if self.pump.error is not None:
+                    self.log(f"audio error: {self.pump.error!r}")
+        elif action == "stop":
+            self._stop_audio(report=True)
+        else:
+            raise TuunError("usage: audio [start [PCM_PATH]|status|stop]")
+
+    def _stop_audio(self, report: bool = False) -> None:
+        if self.pump is None:
+            if report:
+                self.log("audio not running")
+            return
+        pump, self.pump = self.pump, None
+        pump.stop()
+        prev = getattr(self, "_audio_prev_sync", None)
+        if prev is not None and prev != self.tracker.sync_interval:
+            # Drain deferred bookkeeping before going back to the
+            # synchronous offline cadence.
+            self.tracker._sync_voices(drain=True)
+            self.tracker.sync_interval = prev
+        self._audio_prev_sync = None
+        if report:
+            s = pump.stats()
+            self.log(f"audio stopped: {s['blocks_out']} blocks, "
+                     f"{s['underruns']} underruns")
+
     def cmd_render(self, seconds: str, path: str = ""):
+        if self.pump is not None and self.pump.alive:
+            raise TuunError("audio is live (time advances by itself); "
+                            "'audio stop' first")
         n_blocks = max(1, int(float(seconds) * self.tracker.sample_rate /
                               self.tracker.block_size))
         # Wait for outstanding next-measure bakes before rendering: time
@@ -423,6 +504,9 @@ class Repl:
         1/fps of stream time.  On a tty the frame repaints in place;
         otherwise frames print sequentially (tests, pipes)."""
         from . import tui
+        if self.pump is not None and self.pump.alive:
+            raise TuunError("audio is live (time advances by itself); "
+                            "'audio stop' first")
         sr = self.tracker.sample_rate
         block = self.tracker.block_size
         n_blocks = max(1, int(float(seconds) * sr / block))
@@ -477,6 +561,7 @@ class Repl:
                      f"dispatches/block avg {sum(disp) / len(disp):.1f}")
 
     def cmd_quit(self):
+        self._stop_audio()
         self.player.close()
         self.running = False
 
@@ -488,6 +573,11 @@ def main(argv=None) -> int:
     repl = Repl()
     if args:
         repl.dispatch(f"load {args[0]}")
+    # The rebuild is an instrument: go live immediately when the host
+    # has a real audio device (the reference opens SDL2 audio at launch,
+    # main.rs:99-110); headless hosts get an informative message and the
+    # render/audio-to-FIFO surfaces.
+    repl.dispatch("audio start")
     repl.run()
     return 0
 

@@ -1074,9 +1074,12 @@ class Tracker:
             impls.append(("g", _partial(g.compiled._render_impl, nw, fast,
                                         lits), len(g.voices) + g.pad))
         s0 = jnp.int32(0)
-        e0 = jnp.int32(nw)
 
-        def win(*flat):
+        def win(e0, *flat):
+            # `e0` is a runtime extent: nw for a full window, k*n when an
+            # interrupt replays the k served sub-blocks as ONE dispatch
+            # (state advances by exactly e0 - s0; samples past e0 are
+            # zeros by the engine contract).
             Ps = tuple(flat[0::2])
             states = tuple(flat[1::2])
             acc = None
@@ -1138,7 +1141,7 @@ class Tracker:
         if fent is None or fent.get("fn") is None:
             return None
         self._fused_cache[key] = self._fused_cache.pop(key)
-        args: List = []
+        args: List = [self._scalar(K * n)]
         for v in self._singles:
             args += [v.params, v.state]
         for g in self._groups:
@@ -1189,9 +1192,14 @@ class Tracker:
 
     def _interrupt_window(self) -> None:
         """A command arrived mid-window: discard the unserved tail and
-        replay the served sub-blocks through the per-block fused path,
-        rebuilding states and bookkeeping at the consume point exactly
-        (the window fn left the input states untouched)."""
+        replay the k served sub-blocks, rebuilding states and bookkeeping
+        at the consume point exactly (the window fn left the input states
+        untouched).  The replay is ONE dispatch of the window executable
+        itself with runtime extent e = k*n (state advances by exactly e;
+        block-size invariance is a tested engine contract) — a per-block
+        replay costs one enqueue per served block, which on a
+        high-latency link can exceed the whole ring's slack and miss
+        deadlines precisely when a live command lands late in a window."""
         w = self._window
         if w is None:
             return
@@ -1201,14 +1209,36 @@ class Tracker:
         # normally accounts them) — count them here or the sync cadence
         # slips by up to K-1 blocks after every play-triggered interrupt.
         self._since_sync += w["k"]
+        if w["k"] == 0:
+            return
         n = self.block_size
+        ent = self._fused_cache.get(("win", w["key"], w["K"]))
+        fn = ent.get("fn") if ent is not None else None
+        if fn is not None:
+            e = w["k"] * n
+            args: List = [self._scalar(e)]
+            for v in w["singles"]:
+                args += [v.params, v.state]
+            for g in w["groups"]:
+                args += [g.bparams, g.bstate]
+            _blocks, vs, _lvs, finals = fn(*args)
+            i = 0
+            for v in w["singles"]:
+                v.state = finals[i]
+                v._pending_v.append((vs[i], e))
+                i += 1
+            for g in w["groups"]:
+                g.bstate = finals[i]
+                g._pending.append((vs[i], {}, None, e))
+                i += 1
+            return
+        # The window executable vanished (cache churn mid-window); a
+        # skipped replay block would silently freeze every voice's state
+        # while `now` advances, so replay per block through the fused or
+        # always-available per-voice path instead.
         for j in range(w["k"]):
             bs = w["start"] + j * n
             if self._render_all_fused(w["key"], n, bs, True) is None:
-                # The per-block executable vanished (cache churn mid-
-                # window); a skipped replay block would silently freeze
-                # every voice's state while `now` advances, so replay
-                # through the always-available per-voice path instead.
                 self._render_all_pervoice(n, bs, True)
 
     def render_block(self) -> Tuple[np.ndarray, Status]:
