@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import math
+import re
 import sys
 import time
 from pathlib import Path
@@ -476,6 +477,85 @@ def bench_corpus(render_samples=22050):
     return len(report.ok), len(report.failed)
 
 
+# -- round-over-round regression flags -----------------------------------
+#
+# Every past round's driver record (BENCH_r*.json) carries this script's
+# stderr in its "tail"; the per-lane lines parse back into a history, and
+# the current run is compared against each lane's historical minimum.
+# The tunnel time-shares the device, so lanes legitimately swing several-
+# fold run-to-run (README documents 3-7x per lane); a collapse flag
+# therefore requires falling below the WORST value any past round ever
+# recorded by more than the noise allowance.  A genuine 2-3x regression
+# on a lane whose floor was set in a slow round still prints in the delta
+# table (vs the previous round) even when it does not trip the flag.
+
+_LANE_RE = re.compile(r"^# ([A-Za-z0-9_]+): ([0-9.]+) M(?:voice-)?samples/s")
+# Below historical-min by this factor == collapse, not contention.  The
+# widest single-lane spread ever measured inside one suite run is ~4.5x
+# (poly_voices: 56 vs 250-557 Gvs/s); 6x clears it with margin.
+_NOISE_ALLOWANCE = 6.0
+
+
+def _bench_history(root=HERE):
+    """lane -> {round_tag: Msamples/s} parsed from past BENCH_r*.json."""
+    hist = {}
+    for p in sorted(root.glob("BENCH_r*.json")):
+        try:
+            tail = json.loads(p.read_text()).get("tail", "")
+        except Exception:
+            continue
+        tag = p.stem.split("_")[-1]
+        per_lane = {}
+        for line in tail.splitlines():
+            m = _LANE_RE.match(line)
+            if m:
+                name, val = m.group(1), float(m.group(2))
+                # streaming prints one line per gated run: keep the min,
+                # matching how the lane itself scores.
+                per_lane[name] = min(per_lane.get(name, val), val)
+        for name, val in per_lane.items():
+            hist.setdefault(name, {})[tag] = val
+    return hist
+
+
+def flag_regressions(current_msps: dict, root=HERE) -> int:
+    """Prints the round-over-round delta table; returns #collapsed lanes.
+
+    current_msps: lane -> Msamples/s for this run (already min-of-runs
+    for gated lanes)."""
+    hist = _bench_history(root)
+    flagged = 0
+    rows = []
+    for name, cur in sorted(current_msps.items()):
+        past = hist.get(name)
+        if not past or cur is None:
+            rows.append((name, cur, None, None, ""))
+            continue
+        prev_tag = max(past)
+        prev = past[prev_tag]
+        floor_tag = min(past, key=past.get)
+        floor = past[floor_tag]
+        note = ""
+        if cur < floor / _NOISE_ALLOWANCE:
+            note = (f"COLLAPSE: {floor / cur:.1f}x below the historical "
+                    f"floor ({floor_tag}) > {_NOISE_ALLOWANCE:.0f}x noise")
+            flagged += 1
+        elif cur < prev / 3.0:
+            note = (f"warn: {prev / cur:.1f}x below {prev_tag} "
+                    "(within tunnel variance of the floor)")
+        rows.append((name, cur, prev, floor, note))
+    print("# --- round-over-round (Msamples/s; floor = min across "
+          "BENCH_r*.json) ---", file=sys.stderr)
+    for name, cur, prev, floor, note in rows:
+        cur_s = f"{cur:.1f}" if cur is not None else "FAILED"
+        if prev is None:
+            print(f"# {name}: {cur_s} (no history)", file=sys.stderr)
+        else:
+            print(f"# {name}: {cur_s} prev={prev:.1f} floor={floor:.1f}"
+                  f"{' ' + note if note else ''}", file=sys.stderr)
+    return flagged
+
+
 def run_one(name: str) -> int:
     """Subprocess entry: bench one workload, print 'RESULT <sps>'."""
     if name == "poly_voices":
@@ -591,6 +671,7 @@ def main():
               f"{[(round(s / SAMPLE_RATE), m, round(lat, 3)) for s, m, lat in streaming_runs]}",
               file=sys.stderr)
 
+    extra_msps = {}
     for extra, tag in (("poly_voices", "# poly_voices"),
                        ("instrument", "# instrument"),
                        ("corpus", "# corpus")):
@@ -601,6 +682,9 @@ def main():
             for line in proc.stderr.splitlines():
                 if line.startswith(tag) or line.startswith("#   corpus"):
                     print(line, file=sys.stderr)
+                m = _LANE_RE.match(line)
+                if m:
+                    extra_msps[m.group(1)] = float(m.group(2))
         except Exception as exc:  # pragma: no cover
             print(f"# {extra} FAILED: {exc}", file=sys.stderr)
     ok = {k: v for k, v in results.items() if v}
@@ -617,13 +701,18 @@ def main():
                           for v in legacy.values()) / len(legacy))
         print(f"# geomean over the r01/r02 lane set (no streaming): "
               f"{lg:.0f}x", file=sys.stderr)
+    current_msps = {k: (v / 1e6 if v else None) for k, v in results.items()}
+    current_msps.update(extra_msps)
+    flagged = flag_regressions(current_msps)
     print(json.dumps({
         "metric": "tracker_bench_x_realtime_48k",
         "value": round(geomean, 1),
         "unit": "x_realtime",
         "vs_baseline": round(geomean / 1.0, 1),
     }))
-    return 0
+    # A collapse below any lane's all-rounds floor beyond the tunnel-noise
+    # allowance is a regression signal, not contention: nonzero exit.
+    return 2 if flagged else 0
 
 
 if __name__ == "__main__":

@@ -1,0 +1,61 @@
+"""Round-over-round bench regression flags: past BENCH_r*.json driver
+records parse back into a per-lane history, and a lane falling below its
+all-rounds floor by more than the tunnel-noise allowance trips a
+collapse flag (bench.py exits nonzero).  Tunnel contention legitimately
+swings lanes several-fold, so the flag must NOT fire inside that noise
+band — both directions are pinned here against synthetic histories and
+the repo's real records."""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+
+
+def _record(tmp_path, tag, lines):
+    (tmp_path / f"BENCH_{tag}.json").write_text(
+        json.dumps({"tail": "\n".join(lines)}))
+
+
+def test_history_parses_lanes_and_keeps_gated_min(tmp_path):
+    _record(tmp_path, "r01", [
+        "# filter_1_1: 1000.0 Msamples/s (20833x realtime@48k)",
+        "# poly_voices_256: 85717 Mvoice-samples/s (6976x realtime mix)",
+        "# streaming_tracker_4v: 3.2 Msamples/s (73x realtime headroom)",
+        "# streaming_tracker_4v: 6.0 Msamples/s (137x realtime headroom)",
+        "# not a lane line",
+    ])
+    hist = bench._bench_history(tmp_path)
+    assert hist["filter_1_1"] == {"r01": 1000.0}
+    assert hist["poly_voices_256"] == {"r01": 85717.0}
+    # Per-run streaming lines collapse to the min, like the gate itself.
+    assert hist["streaming_tracker_4v"] == {"r01": 3.2}
+
+
+def test_collapse_below_floor_flags_and_noise_band_does_not(tmp_path):
+    _record(tmp_path, "r01", ["# lane_a: 900.0 Msamples/s (x)",
+                              "# lane_b: 50.0 Msamples/s (x)"])
+    _record(tmp_path, "r02", ["# lane_a: 3000.0 Msamples/s (x)",
+                              "# lane_b: 40.0 Msamples/s (x)"])
+    # lane_a at 200 = 4.5x below its 900 floor: inside the 6x allowance,
+    # no flag.  lane_b at 5 = 8x below its 40 floor: collapse.
+    assert bench.flag_regressions({"lane_a": 200.0, "lane_b": 39.0},
+                                  tmp_path) == 0
+    assert bench.flag_regressions({"lane_a": 200.0, "lane_b": 5.0},
+                                  tmp_path) == 1
+    # Unknown lanes and failed lanes never flag (no history to collapse
+    # against / failure already visible upstream).
+    assert bench.flag_regressions({"lane_new": 1.0, "lane_a": None},
+                                  tmp_path) == 0
+
+
+def test_repo_round3_numbers_pass_against_real_history():
+    # The committed BENCH_r01-r03 records themselves: replaying round 3's
+    # numbers as "current" must not flag (sanity against false alarms).
+    hist = bench._bench_history()
+    assert "filter_1_1" in hist  # the records exist in the repo root
+    current = {lane: vals[max(vals)] for lane, vals in hist.items()}
+    assert bench.flag_regressions(current) == 0
