@@ -455,6 +455,157 @@ def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=32,
     return sps, misses, max_lat, latencies
 
 
+def bench_fuzz_tpu(seed0=5000, n_seeds=24, n=256, sr=4, depth=3):
+    """Randomized on-TPU differential lane: seed-logged random trees
+    (the tests/test_fuzz.py generator) rendered through the PRODUCTION
+    path — fast precision, jitted, on the attached device — and diffed
+    against the per-sample oracle with the differential suite's
+    statistical gates (test_fuzz_fast_precision_vs_exact): exact length,
+    all-finite, median error < 1e-3*scale, <10% of samples off by more
+    than 5% of scale.  This is the only correctness gate that exercises
+    the actual TPU codegen (Mosaic fusions, NCO lowering, analytic-Reset
+    tiers); the CPU suites cannot see those paths.  Returns
+    (ok, fail, skip, failures)."""
+    import random
+
+    from tuun_tpu import engine, fuzzgen, ir, oracle, optimizer
+
+    ok = fail = skip = 0
+    failures = []
+    for seed in range(seed0, seed0 + n_seeds):
+        rng = random.Random(seed)
+        w = fuzzgen.random_waveform(rng, depth=depth)
+        ref0 = oracle.render(w, n, sr, seed=seed)
+        if not np.all(np.isfinite(ref0)) or \
+                fuzzgen.ill_conditioned(w, n, sr, seed):
+            skip += 1
+            continue
+        # Optimized form when noise-free (the production route); raw
+        # form otherwise (noise streams are keyed by pre-order node
+        # position, which optimization reshapes — see test_fuzz).
+        has_noise = any(isinstance(x, ir.Noise) for x in w.walk())
+        form = w if has_noise else optimizer.optimize(w)
+        block = (n, 97, 64)[seed % 3]  # full-piece, odd, and small blocks
+        err = None
+        try:
+            ref = oracle.render(form, n, sr, seed=seed, block=block)
+            got = engine.render(form, n, sr, precision="fast", seed=seed,
+                                block=block, jit=True)
+            if len(got) != len(ref):
+                err = f"length {len(got)} != {len(ref)}"
+            elif len(got):
+                if not np.all(np.isfinite(got)):
+                    err = "non-finite samples"
+                else:
+                    d = np.abs(np.asarray(got) - np.asarray(ref))
+                    scale = max(1.0, float(np.abs(ref).max()))
+                    med = float(np.median(d))
+                    frac = float(np.mean(d > 0.05 * scale))
+                    if med > 1e-3 * scale:
+                        err = f"median error {med:.5f} (scale {scale:.3g})"
+                    elif frac > 0.1:
+                        err = f"{frac * 100:.1f}% samples off >5% of scale"
+        except Exception as e:  # compile/render crash IS a failure
+            err = f"{type(e).__name__}: {e}"
+        if err:
+            fail += 1
+            failures.append((seed, err))
+        else:
+            ok += 1
+    import jax as _jax
+    plat = _jax.devices()[0].platform
+    print(f"# fuzz_tpu: {ok} ok / {fail} fail / {skip} skip "
+          f"(seeds {seed0}..{seed0 + n_seeds - 1}, depth={depth}, n={n}, "
+          f"sr={sr}, blocks per seed%3 of {(n, 97, 64)}, fast/jit on "
+          f"{plat})", file=sys.stderr)
+    for seed, msg in failures[:8]:
+        print(f"#   fuzz_tpu FAIL seed={seed}: {msg}", file=sys.stderr)
+    return ok, fail, skip, failures
+
+
+def coldstart_probe():
+    """Subprocess entry (--one coldstart_probe): eval -> first audible
+    block per common structure (prewarm.COMMON_EXPRS), twice.  Phase 1's
+    cost depends on what TUUN_JAX_CACHE already holds (cold on a fresh
+    dir, disk-warm on a populated one); phase 2 re-plays the same
+    structures in the SAME process on a fresh tracker — the tracker
+    voice cache is process-global, so this is exactly the REPL's
+    prewarmed path (prewarm.py compiles these structures in the
+    background at launch)."""
+    from tuun_tpu.ids import WaveformId
+    from tuun_tpu.player import build_top_level_waveform
+    from tuun_tpu.tracker import Tracker
+
+    ev = Evaluator(SAMPLE_RATE, 120, STDLIB)
+
+    def once(tag):
+        from tuun_tpu.prewarm import COMMON_EXPRS
+        times = []
+        for i, text in enumerate(COMMON_EXPRS):
+            tracker = Tracker(SAMPLE_RATE, 1024, precision="fast",
+                              jit=True, levels=True)
+            t0 = time.perf_counter()
+            out = ev.evaluate_source(text, opens=("std",))
+            if isinstance(out, ESeq):
+                out = out.waveform
+            assert isinstance(out, EWaveform), text
+            w = optimizer.optimize(out.waveform)
+            tracker.play(WaveformId.program(i),
+                         build_top_level_waveform(w, 0.0))
+            y, _ = tracker.render_block()
+            np.asarray(y)  # host-materialized == audible
+            times.append(time.perf_counter() - t0)
+            tracker.close()
+        print(f"# coldstart_{tag}: " +
+              ", ".join(f"{t:.2f}s" for t in times), file=sys.stderr)
+        return times
+
+    p1 = once("phase1")
+    p2 = once("phase2_inprocess")
+    print(f"RESULT {max(p1)} {max(p2)}")
+    return 0
+
+
+def bench_coldstart():
+    """Cold-start budget lane: eval -> first-block with a FRESH compile
+    cache (the brand-new-structure worst case), with the persistent
+    disk cache warm (a repeat session), and in-process warm (the REPL's
+    prewarmed path).  Reports worst-structure seconds for each."""
+    import os
+    import subprocess
+    import tempfile
+
+    from tuun_tpu.prewarm import COMMON_EXPRS
+
+    cache = tempfile.mkdtemp(prefix="tuun_coldstart_")
+    env = dict(os.environ, TUUN_JAX_CACHE=cache)
+    phases = {}
+    for l1, l2 in (("cold", "prewarmed"), ("diskwarm", "prewarmed2")):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--one", "coldstart_probe"],
+            capture_output=True, text=True, timeout=900, env=env)
+        for line in proc.stderr.splitlines():
+            if line.startswith("# coldstart"):
+                print(line.replace("phase1", l1)
+                          .replace("phase2_inprocess", l2), file=sys.stderr)
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                parts = line.split()
+                phases[l1], phases[l2] = float(parts[1]), float(parts[2])
+    if "cold" not in phases or "diskwarm" not in phases:
+        print("# coldstart FAILED: probe produced no RESULT",
+              file=sys.stderr)
+        return None
+    block_secs = 1024 / SAMPLE_RATE
+    print(f"# coldstart: cold {phases['cold']:.1f}s, disk-warm "
+          f"{phases['diskwarm']:.2f}s, prewarmed (in-process) "
+          f"{phases['prewarmed']:.3f}s == "
+          f"{phases['prewarmed'] / block_secs:.1f} blocks "
+          f"(worst of {len(COMMON_EXPRS)} structures, "
+          "eval->first audible block)", file=sys.stderr)
+    return phases
+
+
 def bench_corpus(render_samples=22050):
     """Conformance lane: renders every docs-corpus example through the
     production engine (fast precision, jitted, on the attached TPU) and
@@ -572,6 +723,14 @@ def run_one(name: str) -> int:
         ok, fail = bench_corpus()
         print(f"RESULT {ok} {fail}")
         return 0
+    elif name == "fuzz_tpu":
+        ok, fail, skip, _ = bench_fuzz_tpu()
+        print(f"RESULT {ok} {fail}")
+        return 0 if fail == 0 else 1
+    elif name == "coldstart_probe":
+        return coldstart_probe()
+    elif name == "coldstart":
+        return 0 if bench_coldstart() else 1
     else:
         sps = bench_one(name, workloads()[name])
     print(f"RESULT {sps}")
@@ -672,15 +831,17 @@ def main():
               file=sys.stderr)
 
     extra_msps = {}
-    for extra, tag in (("poly_voices", "# poly_voices"),
-                       ("instrument", "# instrument"),
-                       ("corpus", "# corpus")):
+    for extra, tag, budget in (("poly_voices", "# poly_voices", 420),
+                               ("instrument", "# instrument", 420),
+                               ("corpus", "# corpus", 420),
+                               ("fuzz_tpu", "# fuzz_tpu", 900),
+                               ("coldstart", "# coldstart", 1900)):
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--one", extra],
-                capture_output=True, text=True, timeout=420)
+                capture_output=True, text=True, timeout=budget)
             for line in proc.stderr.splitlines():
-                if line.startswith(tag) or line.startswith("#   corpus"):
+                if line.startswith(tag) or line.startswith("#   "):
                     print(line, file=sys.stderr)
                 m = _LANE_RE.match(line)
                 if m:

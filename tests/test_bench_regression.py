@@ -59,3 +59,14 @@ def test_repo_round3_numbers_pass_against_real_history():
     assert "filter_1_1" in hist  # the records exist in the repo root
     current = {lane: vals[max(vals)] for lane, vals in hist.items()}
     assert bench.flag_regressions(current) == 0
+
+
+def test_fuzz_tpu_lane_on_cpu(capsys):
+    # The fuzz_tpu lane's harness, driven on the CPU backend with a small
+    # seed bank: the production fast/jit render of every seed-logged tree
+    # must hold the differential suite's statistical gates vs the oracle.
+    ok, fail, skip, failures = bench.bench_fuzz_tpu(seed0=5000, n_seeds=8)
+    assert fail == 0, failures
+    assert ok >= 4  # the bank can't be all skips
+    err = capsys.readouterr().err
+    assert "# fuzz_tpu:" in err and "seeds 5000..5007" in err
