@@ -211,3 +211,40 @@ def test_repl_goes_live_and_refuses_offline_renders(tmp_path, monkeypatch):
     r.dispatch("render 0.1")
     assert len(r.rendered[-1]) > 0
     r.dispatch("quit")
+
+
+def test_live_view_paints_from_the_delivered_pcm_tap(tmp_path,
+                                                     monkeypatch):
+    from tuun_tpu.repl import Repl
+
+    src = tmp_path / "song.tuun"
+    src.write_text("open std;\n#{level_db=0}\n_ = $330 * 0.5;\n")
+    sink = FakeSink()
+    monkeypatch.setattr(audio, "open_sink",
+                        lambda sr, bl, pcm_path=None: (sink, "fake sink"))
+    # Short sync windows: the tap fills one window at a time, and the
+    # test should not have to stream 32 blocks before the first flush.
+    monkeypatch.setattr(audio, "STREAM_SYNC_INTERVAL", 4)
+    out = io.StringIO()
+    r = Repl(sample_rate=SR, tempo=60, buffer_size=BLOCK,
+             library_root=STDLIB, precision="fast", jit=True, out=out)
+    r.dispatch(f"load {src}")
+    r.dispatch("play A1")
+    r.dispatch("render 0.2")  # warm compiled paths before going live
+    r.dispatch("audio start")
+    try:
+        time.sleep(12 * BS)  # let delivered PCM land in the tap
+        r.dispatch("view 0.4 5")
+        text = out.getvalue()
+        assert "LIVE" in text            # the live dashboard painted
+        assert text.count("LIVE") >= 2   # ... more than once
+        assert "A1" in text and "measure" in text
+        # The tap holds real delivered audio.
+        recent = r.pump.recent(4 * BLOCK)
+        assert len(recent) > 0 and float(np.abs(recent).max()) > 0.1
+        # The audio thread kept pacing during the view (no pile-up of
+        # underruns caused by the repaint loop).
+        assert r.pump.alive
+    finally:
+        r.dispatch("audio stop")
+    r.dispatch("quit")

@@ -105,3 +105,62 @@ def test_repl_view_command(tmp_path):
     assert len(r.rendered[-1]) == 60
     assert "view" in [w for line in text.splitlines() for w in line.split()] \
         or True  # help text not required here
+
+
+def test_program_lines_cursor_sliders_and_errors():
+    rows = [tui.ProgramRow(name="A1", text="$440 * Qw", selected=True,
+                           playing=True, sliders=[("g", 0.5)],
+                           level_db=-6.0),
+            tui.ProgramRow(name="A2", text="fn() => x", cursor=3,
+                           error="unexpected input"),
+            tui.ProgramRow(name="B1", text="waiting", pending=True)]
+    lines = tui.program_lines(rows, width=60)
+    assert lines[0].startswith("►♪  A1")
+    assert "g=0.5" in lines[0] and "-6.0dB" in lines[0]
+    assert "fn(│) => x" in lines[1]
+    assert any(line.strip().startswith("! unexpected input")
+               for line in lines)
+    assert lines[-1].startswith(" …  B1")
+    assert all(len(line) <= 60 for line in lines)
+
+
+def test_beat_line_advances_with_now():
+    # 100 Hz, 60 bpm -> 100 samples per beat, 4 beats per measure.
+    b0 = tui.beat_line(0, 100, 60, 4)
+    assert "measure    1 beat 1/4" in b0 and "● ○ ○ ○" in b0
+    b2 = tui.beat_line(250, 100, 60, 4)
+    assert "beat 3/4" in b2 and "○ ○ ● ○" in b2
+    b5 = tui.beat_line(450, 100, 60, 4)
+    assert "measure    2 beat 1/4" in b5
+
+
+def test_dashboard_frame_composes_all_panes():
+    sr = 8000
+    y = np.sin(math.tau * 440 * np.arange(2048) / sr).astype(np.float32)
+    frame = tui.dashboard_frame(
+        y, sr,
+        rows=[tui.ProgramRow(name="A1", text="$440", playing=True)],
+        levels=[("p0", 0.7, 0.9)], load_series=[0.1],
+        dispatch_series=[1], title="t= 1.00s", message="mode: Select",
+        beat=(0, 120, 4))
+    lines = frame.split("\n")
+    assert any("measure" in line for line in lines)      # beat pane
+    assert any("A1" in line and "♪" in line for line in lines)
+    assert any(line.startswith("t= 1.00s") for line in lines)
+    assert any(line.startswith("load ") for line in lines)
+    assert lines[-1] == "mode: Select"
+
+
+def test_repl_view_dashboard_shows_programs_and_beat(tmp_path):
+    src = tmp_path / "song.tuun"
+    src.write_text("open std;\n#{level_db=0}\n_ = $10 | fin(time - 1);\n")
+    out = io.StringIO()
+    r = Repl(sample_rate=100, tempo=60, buffer_size=20,
+             library_root=STDLIB, precision="exact", jit=False, out=out)
+    r.dispatch(f"load {src}")
+    r.dispatch("play A1")
+    r.dispatch("view 0.6 5")
+    text = out.getvalue()
+    assert "A1" in text and "measure" in text and "mode: Select" in text
+    # The playing marker appears once the voice is active.
+    assert "♪" in text

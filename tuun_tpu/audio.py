@@ -27,6 +27,7 @@ tracker itself uses for valid-end scalars (tracker._stage_pending).
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
@@ -141,6 +142,11 @@ class StreamPump:
         self.underruns = 0
         self.blocks_out = 0
         self.worst_late = float("-inf")
+        # Delivered-PCM tap for the live dashboard: the writer thread
+        # appends each block it hands to the sink (deque ops are
+        # GIL-atomic; readers see a consistent recent window).
+        self.tap: "collections.deque[np.ndarray]" = \
+            collections.deque(maxlen=64)
         self._q: "queue.Queue[Tuple[Callable, Optional[threading.Event], List]]" \
             = queue.Queue()
         self._kick = threading.Event()
@@ -307,6 +313,7 @@ class StreamPump:
                 deadline = self._t0 + \
                     (k0 + i + 1 + self.ring) * self.block_secs
                 self.sink.write(row)
+                self.tap.append(row)
                 late = time.perf_counter() - deadline
                 self.worst_late = max(self.worst_late, late)
                 if late > 0:
@@ -314,6 +321,15 @@ class StreamPump:
                 self.blocks_out += 1
 
     # -- reporting --------------------------------------------------------
+
+    def recent(self, n_samples: int) -> np.ndarray:
+        """The most recent <= n_samples of PCM actually delivered to the
+        sink (the live dashboard's signal window)."""
+        blocks = list(self.tap)
+        if not blocks:
+            return np.zeros(0, np.float32)
+        need = n_samples // self.block + 2
+        return np.concatenate(blocks[-need:])[-n_samples:]
 
     def stats(self) -> dict:
         return {"blocks_out": self.blocks_out,

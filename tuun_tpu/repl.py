@@ -89,9 +89,13 @@ class Repl:
             return
         try:
             if self.pump is not None and self.pump.alive and \
-                    cmd not in ("audio", "quit", "help"):
+                    cmd not in ("audio", "quit", "help", "view"):
                 # Live audio: the tracker belongs to the audio thread;
-                # run the whole command there between blocks.
+                # run the whole command there between blocks.  `view`
+                # stays on the REPL thread — it paces its own repaint
+                # loop against the wall clock and marshals one per-frame
+                # state read instead (running it on the audio thread
+                # would stall the block clock for its whole duration).
                 self.pump.call(lambda: handler(*args))
             else:
                 handler(*args)
@@ -497,21 +501,106 @@ class Repl:
             self.log(f"rendered {len(mix)} samples (peak {peak:.3f}, "
                      f"load {status.tracker_load:.4f})")
 
-    def cmd_view(self, seconds: str = "1", fps: str = "10"):
-        """Live terminal renderer (the renderer.rs window analogue,
-        tuun_tpu.tui): renders `seconds` of audio like `render` while
-        repainting an oscilloscope + spectrum + level/HUD frame every
-        1/fps of stream time.  On a tty the frame repaints in place;
-        otherwise frames print sequentially (tests, pipes)."""
+    def _dashboard_rows(self):
+        """The program-list pane's rows (renderer.rs program list):
+        selection, play state, text with the edit cursor, sliders,
+        level — built from live app + tracker truth."""
         from . import tui
-        if self.pump is not None and self.pump.alive:
-            raise TuunError("audio is live (time advances by itself); "
-                            "'audio stop' first")
+        from .ids import WaveformId
+        from .sliders import denormalize_or_zero
+        if self.runner is None:
+            return []
+        state = self.runner.state
+        playing = {v.id for v in self.tracker.active}
+        pending = {p.id for p in self.tracker.pending}
+        rows = []
+        for i, p in enumerate(state.programs.programs):
+            if p.is_empty():
+                continue
+            editing = isinstance(state.mode, A.Edit) and \
+                i == state.active_program_index
+            wid = WaveformId.program(i)
+            rows.append(tui.ProgramRow(
+                name=state.programs.display_name(i),
+                text=p.text,
+                selected=i == state.active_program_index,
+                playing=wid in playing,
+                pending=wid in pending,
+                cursor=state.mode.cursor if editing else None,
+                sliders=[(c.label, denormalize_or_zero(c.function, n))
+                         for c, n in zip(p.sliders.configs,
+                                         p.sliders.normalized_values)],
+                level_db=p.level_db,
+                error=str(state.mode.errors[0])
+                if editing and state.mode.errors else ""))
+        return rows
+
+    def _dashboard_frame(self, window: np.ndarray, title: str,
+                         color: bool) -> str:
+        from . import tui
+        sr = self.tracker.sample_rate
+        levels = [(v.id, v.level_rms, v.level_peak)
+                  for v in self.tracker.active]
+        message = ""
+        if self.runner is not None:
+            mode = type(self.runner.state.mode).__name__
+            message = f"mode: {mode}"
+            if self.runner.state.message:
+                message += "  " + \
+                    self.runner.state.message.splitlines()[0]
+        return tui.dashboard_frame(
+            np.asarray(window, np.float32), sr,
+            rows=self._dashboard_rows(), levels=levels,
+            load_series=self.tracker.load_metric.series(),
+            dispatch_series=self.tracker.dispatch_metric.series(),
+            title=title, message=message,
+            beat=(self.tracker.now, self.player.tempo,
+                  self.player.beats_per_measure),
+            color=color)
+
+    def _paint(self, frame: str, painted_lines: int, is_tty: bool) -> int:
+        if is_tty and painted_lines:
+            print(f"\x1b[{painted_lines}F\x1b[J", end="", file=self.out)
+        print(frame, file=self.out)
+        return frame.count("\n") + 1
+
+    def cmd_view(self, seconds: str = "1", fps: str = "10"):
+        """The live dashboard (the renderer.rs frame, renderer.rs:127):
+        program list + cursor + sliders, beat, oscilloscope, spectrum,
+        per-voice levels, HUD sparklines — repainted every 1/fps.  With
+        live audio running, the view follows the delivered PCM stream
+        on the wall clock (the audio thread keeps rendering); offline it
+        renders `seconds` of audio like `render` while painting.  On a
+        tty the frame repaints in place; otherwise frames print
+        sequentially (tests, pipes)."""
+        import time as _time
         sr = self.tracker.sample_rate
         block = self.tracker.block_size
+        is_tty = getattr(self.out, "isatty", lambda: False)()
+        if self.pump is not None and self.pump.alive:
+            # Live mode: the audio thread owns the tracker; each frame
+            # marshals one state read onto it and draws the tap's PCM.
+            # (dispatch() routes commands through pump.call — cmd_view
+            # runs ON the audio thread for other commands, but `view`
+            # must not: it would stall the block clock, so dispatch
+            # special-cases it; see dispatch().)
+            pump = self.pump
+            duration = float(seconds)
+            frame_secs = 1.0 / max(float(fps), 0.01)
+            window_n = max(2 * block, int(sr * frame_secs))
+            painted = 0
+            t_end = _time.monotonic() + duration
+            while _time.monotonic() < t_end and pump.alive:
+                frame = pump.call(lambda: self._dashboard_frame(
+                    pump.recent(window_n),
+                    title=f"t={self.tracker.now / sr:6.2f}s  LIVE  "
+                          f"underruns {pump.underruns}",
+                    color=is_tty))
+                painted = self._paint(frame, painted, is_tty)
+                _time.sleep(frame_secs)
+            return
         n_blocks = max(1, int(float(seconds) * sr / block))
         frame_every = max(1, int(sr / max(float(fps), 0.01) / block))
-        is_tty = getattr(self.out, "isatty", lambda: False)()
         self.player.flush_bakes()
         chunks: List[np.ndarray] = []
         status = None
@@ -524,20 +613,11 @@ class Repl:
                 continue
             window = np.concatenate(chunks[painted_upto:])
             painted_upto = len(chunks)
-            levels = [(v.id, v.level_rms, v.level_peak)
-                      for v in self.tracker.active]
-            frame = tui.render_frame(
-                np.asarray(window, np.float32), sr, levels=levels,
-                load_series=self.tracker.load_metric.series(),
-                dispatch_series=self.tracker.dispatch_metric.series(),
-                title=f"t={self.tracker.now / sr:6.2f}s  "
-                      f"load {status.tracker_load:.3f}",
+            frame = self._dashboard_frame(
+                window, title=f"t={self.tracker.now / sr:6.2f}s  "
+                              f"load {status.tracker_load:.3f}",
                 color=is_tty)
-            if is_tty and painted_lines:
-                print(f"\x1b[{painted_lines}F\x1b[J", end="",
-                      file=self.out)
-            print(frame, file=self.out)
-            painted_lines = frame.count("\n") + 1
+            painted_lines = self._paint(frame, painted_lines, is_tty)
         if self.runner is not None and status is not None:
             self.runner.observe_status(status)
         self.rendered.append(np.concatenate(chunks))
@@ -567,6 +647,8 @@ class Repl:
 
 
 def main(argv=None) -> int:
+    import os
+
     from .compile_cache import enable as enable_compile_cache
     enable_compile_cache()
     args = argv if argv is not None else sys.argv[1:]
@@ -578,6 +660,15 @@ def main(argv=None) -> int:
     # main.rs:99-110); headless hosts get an informative message and the
     # render/audio-to-FIFO surfaces.
     repl.dispatch("audio start")
+    # Pre-warm the stdlib's common voice structures in the background
+    # (first compiles are the worst first-user experience; see
+    # prewarm.py / bench.py's coldstart lane).  TUUN_PREWARM=0 disables.
+    if os.environ.get("TUUN_PREWARM", "1").lower() not in ("0", "off"):
+        from . import prewarm
+        prewarm.start_background(
+            repl.tracker, repl.evaluator,
+            on_done=lambda n: repl.log(f"(prewarm: {n} common structures "
+                                       "compiled)"))
     repl.run()
     return 0
 

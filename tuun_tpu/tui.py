@@ -16,7 +16,8 @@ the REPL's `view` command owns the repaint loop.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -146,6 +147,101 @@ def level_meter(rms: float, peak: float, width: int = 40,
     if color and peak > 1.0:
         s = _RED + s + _RESET
     return s
+
+
+@dataclass
+class ProgramRow:
+    """One program's line in the dashboard (the renderer.rs program
+    list: name, text with the edit cursor, sliders, level — plus the
+    playing marker the reference paints as the program color)."""
+
+    name: str
+    text: str
+    selected: bool = False
+    playing: bool = False
+    pending: bool = False
+    cursor: Optional[int] = None  # edit-mode cursor position in text
+    sliders: Sequence[Tuple[str, float]] = field(default_factory=tuple)
+    level_db: float = 0.0
+    error: str = ""
+
+
+def program_lines(rows: Sequence[ProgramRow], width: int = 78,
+                  color: bool = False) -> List[str]:
+    """The program list pane: selection cursor, play state, source text
+    (with the edit cursor when editing), slider values, level."""
+    lines = []
+    for r in rows:
+        marker = "►" if r.selected else " "
+        play = "♪" if r.playing else ("…" if r.pending else " ")
+        text = r.text
+        if r.cursor is not None:
+            c = min(max(r.cursor, 0), len(text))
+            text = text[:c] + "│" + text[c:]
+        body = " ".join(text.split())
+        bits = []
+        if r.sliders:
+            bits.append(" ".join(f"{lab}={val:.3g}"
+                                 for lab, val in r.sliders))
+        if abs(r.level_db) > 1e-9:
+            bits.append(f"{r.level_db:+.1f}dB")
+        suffix = "  ".join(bits)
+        head = f"{marker}{play} {r.name:>3} "
+        room = width - len(head) - (len(suffix) + 2 if suffix else 0)
+        line = head + body[:max(room, 8)]
+        if suffix:
+            pad = max(width - len(line) - len(suffix), 1)
+            line = line + " " * pad + suffix
+        if color and r.selected:
+            line = "\x1b[1m" + line + _RESET
+        lines.append(line)
+        if r.error:
+            err = f"      ! {r.error}"[:width]
+            lines.append(_RED + err + _RESET if color else err)
+    return lines
+
+
+def beat_line(now: int, sample_rate: int, tempo: float,
+              beats_per_measure: int) -> str:
+    """The beat indicator (renderer.rs's per-beat circles): measure
+    count plus one circle per beat, the current beat filled."""
+    spb = sample_rate * 60.0 / max(tempo, 1e-9)
+    beat = int(now / spb)
+    in_measure = beat % beats_per_measure
+    dots = " ".join("●" if i == in_measure else "○"
+                    for i in range(beats_per_measure))
+    return (f"measure {beat // beats_per_measure + 1:>4} "
+            f"beat {in_measure + 1}/{beats_per_measure}  {dots}")
+
+
+def dashboard_frame(samples: np.ndarray, sample_rate: int,
+                    rows: Sequence[ProgramRow] = (),
+                    levels: Optional[Sequence] = None,
+                    load_series: Optional[Sequence[float]] = None,
+                    dispatch_series: Optional[Sequence[float]] = None,
+                    title: str = "", message: str = "",
+                    beat: Optional[Tuple[int, float, int]] = None,
+                    width: int = 78, color: bool = False) -> str:
+    """The single live frame the reference renderer paints every
+    callback (renderer.rs:127): program list + cursor + sliders, beat,
+    oscilloscope, spectrum, per-voice levels, HUD sparklines, message.
+    Pure string composition; the caller owns cursor control and
+    repaint cadence (Repl.cmd_view)."""
+    parts: List[str] = []
+    if beat is not None:
+        now, tempo, bpm = beat
+        parts.append(beat_line(now, sample_rate, tempo, bpm))
+    if rows:
+        parts += program_lines(rows, width=width, color=color)
+        parts.append(("─" * width) if not color
+                     else _DIM + "─" * width + _RESET)
+    parts.append(render_frame(samples, sample_rate, levels=levels,
+                              load_series=load_series,
+                              dispatch_series=dispatch_series,
+                              title=title, width=width, color=color))
+    if message:
+        parts.append(message[:width * 2])
+    return "\n".join(parts)
 
 
 def render_frame(samples: np.ndarray, sample_rate: int,
