@@ -11,7 +11,9 @@ Extensions over the reference CLI:
   --all-bindings     treat every definition as a program (for files like
                      dtmf.tuun that carry no annotations)
   --render-out FILE  write the mixed output to a WAV
-  --precision        exact (f64 phase, CPU-testable) | fast (TPU)
+  --precision        exact (f64 phase, CPU-testable) | exact_df
+                     (double-single f32 phase: exact semantics on the
+                     TPU, design.md §3b) | fast (TPU production)
   --dump             print each program's waveform IR (the reference's
                      D-key dump)
 """
@@ -62,7 +64,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--duration", type=float, default=600.0,
                    help="maximum seconds to render")
     p.add_argument("--precision", default="fast",
-                   choices=["fast", "exact"])
+                   choices=["fast", "exact", "exact_df"])
     p.add_argument("--no-jit", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX backend (an env-pinned JAX_PLATFORMS "

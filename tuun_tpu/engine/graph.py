@@ -57,6 +57,7 @@ import numpy as np
 
 from .. import ir
 from ..noisegen import noise_jnp
+from . import df32
 from .pallas_ops import (affine_scan_f32, pallas_available, prefix_max_f32,
                          prefix_sum_f32)
 
@@ -124,7 +125,15 @@ i32 = jnp.int32
 @dataclass
 class EngineConfig:
     sample_rate: int
-    precision: str = "exact"  # "exact" (f64 phase, sequential IIR) | "fast"
+    # "exact": f64 phase + sequential IIR (bit-comparable with the
+    #          oracle; needs x64, i.e. the host CPU).
+    # "exact_df": exact semantics on f32-only hardware — double-single
+    #          (two-float) phase accumulation (engine/df32.py, ~48 bits)
+    #          + sequential IIR; runs the differential suite's strict
+    #          tolerances ON TPU (design.md §3b).
+    # "fast": production TPU mode — u32 NCO, f32 FM prefix sum,
+    #          parallel/Pallas IIR scans, analytic Reset tiers.
+    precision: str = "exact"
     seed: int = 0
     jit: bool = True  # False: eager execution (fast small-scale testing)
     use_pallas: Optional[bool] = None  # None: auto (fast mode on TPU)
@@ -147,8 +156,13 @@ class EngineConfig:
         return jnp.float64 if self.precision == "exact" else jnp.float32
 
     @property
+    def df_phase(self) -> bool:
+        """Double-single (two-float) phase accumulation (exact_df)."""
+        return self.precision == "exact_df"
+
+    @property
     def sequential_iir(self) -> bool:
-        return self.precision == "exact"
+        return self.precision in ("exact", "exact_df")
 
     @property
     def pallas(self) -> bool:
@@ -592,6 +606,20 @@ class CSine(Node):
                     ph = li.astype(jnp.uint32) * inc
                     angle = _nco_angle(ph)
                     return _len_mask(li, jnp.sin(angle + yp), lp), lp
+            elif cfg.df_phase:
+                def reloc(P, li, lits=None):
+                    # Double-single phase: li * (f/sr) mod 2π to ~48 bits
+                    # (li is exact in f32 below the documented 2^24 lane
+                    # boundary, like the fast reloc path).
+                    fh, fl = df32.df_div_f32(
+                        freq.const_expr(P).astype(f32), f32(sr))
+                    yp, lp = phase.reloc(P, li, lits)
+                    lif = li.astype(f32)
+                    ph, pl = df32.df_mul(lif, jnp.zeros_like(lif), fh, fl)
+                    ph, pl = df32.df_add(ph, pl, yp, jnp.zeros_like(yp))
+                    ph, pl = df32.df_mod_tau(ph, pl)
+                    return _len_mask(li, df32.df_sin(ph, pl).astype(f32),
+                                     lp), lp
             else:
                 def reloc(P, li, lits=None):
                     inc = freq.const_expr(P).astype(pd) / pd(sr)
@@ -614,7 +642,12 @@ class CSine(Node):
             jnp.where(big, jnp.uint32(2 ** 31), jnp.uint32(0))
 
     def init(self, P):
-        acc = jnp.uint32(0) if self.nco else jnp.zeros((), self.cfg.phase_dtype)
+        if self.nco:
+            acc = jnp.uint32(0)
+        elif self.cfg.df_phase:
+            acc = (jnp.zeros((), f32), jnp.zeros((), f32))
+        else:
+            acc = jnp.zeros((), self.cfg.phase_dtype)
         return (acc, self.freq.init(P), self.phase.init(P))
 
     def render(self, P, st, s, e, ctx):
@@ -637,6 +670,26 @@ class CSine(Node):
         pd = self.cfg.phase_dtype
         yf, vf, wf, sf = self.freq.render(P, sf, s, e, ctx)
         yp, vp, wp, sp = self.phase.render(P, sp, s, vf, ctx)
+        if self.cfg.df_phase:
+            # Double-single accumulation: the f64 semantics on f32-only
+            # hardware (engine/df32.py; accuracy/throughput measurement
+            # in design.md §3b).  Per-lane phases reduce mod 2π before
+            # the sin — unlike f64, an f32 hi word at a large absolute
+            # phase has ulp far above the required resolution.
+            ih, il = df32.df_div_f32(
+                jnp.where(_mask(ctx, s, vf), yf, 0.0),
+                f32(self.cfg.sample_rate))
+            ch, cl = df32.df_cumsum(ih, il)       # inclusive prefix
+            ah, al = acc
+            ph, pl = df32.df_add(ch, cl, -ih, -il)  # exclusive prefix
+            ph, pl = df32.df_add(ph, pl, ah, al)
+            ph, pl = df32.df_add(ph, pl, yp, jnp.zeros_like(yp))
+            ph, pl = df32.df_mod_tau(ph, pl)
+            y = df32.df_sin(ph, pl).astype(f32)
+            y = jnp.where(_mask(ctx, s, vf), y, yf)
+            nh, nl = df32.df_add(ah, al, ch[-1], cl[-1])
+            nh, nl = df32.df_mod_tau(nh, nl)
+            return y, vp, jnp.maximum(wf, vf), ((nh, nl), sf, sp)
         inc = jnp.where(_mask(ctx, s, vf), yf, 0.0).astype(pd) / \
             pd(self.cfg.sample_rate)
         pre = _cumsum(inc, self.cfg.pallas and pd == jnp.float32) - inc
