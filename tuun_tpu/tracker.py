@@ -266,6 +266,9 @@ class Voice:
     # the voice retires at start + total_len without a device round trip.
     # None = unknown/infinite -> lazy valid-end detection.
     total_len: Optional[int] = None
+    # Host copy of the seed (known at activation): Modify reads it
+    # without paying a device->host round trip for params.seed.
+    host_seed: Optional[int] = None
     # Last resolved output levels (levels=True trackers).
     level_rms: float = 0.0
     level_peak: float = 0.0
@@ -686,7 +689,9 @@ class Tracker:
                     ntl = _dc_replace(self.cfg, timeline=False)
                     compiled = self.cache.get(new_w, ntl)
                     old_compiled = self.cache.get(voice.waveform, ntl)
-                params = compiled.params_for(new_w, seed=int(voice.params.seed))
+                seed = voice.host_seed if voice.host_seed is not None \
+                    else int(voice.params.seed)
+                params = compiled.params_for(new_w, seed=seed)
                 old_pos, old_rst = voice.state
                 if needs_replay:
                     # The fast path (and the timeline schedule path)
@@ -749,7 +754,8 @@ class Tracker:
                       list(p.marks), fast=compiled.fast_default,
                       lits=(compiled.lits_for(params)
                             if compiled.fast_default
-                            or compiled._has_timeline else None))
+                            or compiled._has_timeline else None),
+                      host_seed=self._seed_counter)
         # Exact retirement: resolve the voice's total length up front —
         # trace-time literal for relocatable structures, oracle length()
         # otherwise (the reference's symbolic root / generate-and-scan,
@@ -1411,13 +1417,21 @@ class Tracker:
         # until the value is computed, serializing the pipeline (the
         # window's compute is still in flight when staging runs). The
         # copy starts one sync later (_sync_voices), when the compute
-        # has finished.
-        return [self._pack(flat), False], plan
+        # has finished.  The pack itself is ALSO deferred (raw list
+        # here): its jitted executable is cached per shape signature,
+        # and a signature first seen mid-stream would otherwise compile
+        # ~0.5 s INLINE on the serve thread (measured: the last
+        # deadline-miss source in the paced streaming gate) — the fetch
+        # worker packs right before the blocking host copy it already
+        # owns.
+        return [flat, False], plan
 
     def _resolve_staged(self, staged) -> None:
         if staged is None:
             return
         (packed, _copied), plan = staged
+        if isinstance(packed, list):
+            packed = self._pack(packed)
         self._apply_resolved(np.asarray(packed), plan)
 
     def _apply_resolved(self, data: np.ndarray, plan) -> None:
@@ -1471,6 +1485,11 @@ class Tracker:
                         return
                     (packed, _), plan = item
                     try:
+                        if isinstance(packed, list):
+                            # Deferred pack: the jit compile for a fresh
+                            # shape signature lands HERE (XLA releases
+                            # the GIL), never on the serve thread.
+                            packed = self._pack(packed)
                         data = np.asarray(packed)
                     except Exception:
                         data = None
