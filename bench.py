@@ -223,9 +223,14 @@ WORKLOAD_NAMES = ["filter_1_1", "filter_1_1_linear", "filter_4_3",
                   "large_440", "marks_4_40", "poly_16"]
 
 # The streaming lane's lookahead window (= stated output latency, in
-# 1024-sample blocks).  See docs/design.md §6c for the measured
-# K -> headroom/latency curve behind this default.
-STREAM_K = 32
+# 1024-sample blocks).  Round-4 measured curve (docs/design.md §6c.7):
+# K=8 -> 78x/0 misses, K=4 -> 38-60x/0 misses over 3 runs (cmd->audible
+# at the (K+1)-block minimum both), K=2 -> 0 misses but only 36 ms worst
+# slack (too thin for a hard gate on the tunnel's variance), K=1
+# collapses (the ~30 ms sync RTT alone exceeds the 23 ms block budget —
+# the tunnel's floor, not the TPU's).  Default: the smallest K with
+# repeated zero-miss margin.
+STREAM_K = 4
 
 
 def bench_instrument(expr="harmonica(10.0, 440)", seconds=8.0,

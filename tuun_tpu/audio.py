@@ -102,10 +102,12 @@ def open_sink(sample_rate: int, block_size: int,
                       "use 'audio start PCM_PATH' for a raw-PCM FIFO")
 
 
-# The live-audio operating point: deferred syncs this deep keep the
-# per-block host cost at a buffer handoff on a high-latency device link
-# (see docs/design.md §6c and bench.py's gated streaming lane).
-STREAM_SYNC_INTERVAL = 32
+# The live-audio operating point: the smallest lookahead window that
+# holds zero deadline misses with repeated margin through the device
+# tunnel — K=4 blocks (93 ms), commands audible in (K+1) blocks = 116 ms
+# (docs/design.md §6c.7 for the measured K curve; bench.py's gated
+# streaming lane re-proves it with live commands every round).
+STREAM_SYNC_INTERVAL = 4
 
 
 class StreamPump:
