@@ -767,7 +767,7 @@ def run_one(name: str) -> int:
     elif name == "corpus":
         ok, fail = bench_corpus()
         print(f"RESULT {ok} {fail}")
-        return 0
+        return 0 if fail == 0 and ok > 0 else 1
     elif name == "fuzz_tpu":
         ok, fail, skip, _ = bench_fuzz_tpu()
         print(f"RESULT {ok} {fail}")
@@ -876,15 +876,27 @@ def main():
               file=sys.stderr)
 
     extra_msps = {}
+    # Correctness gates among the extra lanes: a nonzero subprocess exit
+    # (differential failures on the TPU, corpus render-diff failures)
+    # must fail the BENCH — scored as a 1x-realtime lane in the geomean
+    # (the contract boundary, same as a failed streaming gate) AND a
+    # nonzero process exit.  Scraping stderr alone would make these
+    # gates decorative.  coldstart stays reporting-only: it measures an
+    # experience, and a transient tunnel stall there is not a
+    # correctness signal.
+    gated_extras = {"corpus", "fuzz_tpu"}
+    failed_gates = []
     for extra, tag, budget in (("poly_voices", "# poly_voices", 420),
                                ("instrument", "# instrument", 420),
                                ("corpus", "# corpus", 420),
                                ("fuzz_tpu", "# fuzz_tpu", 900),
                                ("coldstart", "# coldstart", 1900)):
+        rc = None
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--one", extra],
                 capture_output=True, text=True, timeout=budget)
+            rc = proc.returncode
             for line in proc.stderr.splitlines():
                 if line.startswith(tag) or line.startswith("#   "):
                     print(line, file=sys.stderr)
@@ -893,6 +905,11 @@ def main():
                     extra_msps[m.group(1)] = float(m.group(2))
         except Exception as exc:  # pragma: no cover
             print(f"# {extra} FAILED: {exc}", file=sys.stderr)
+        if extra in gated_extras and rc != 0:
+            failed_gates.append(extra)
+            results[f"{extra}_gate"] = float(REALTIME_BASE)
+            print(f"# {extra} gate FAILED (exit {rc}; lane scored 1x "
+                  "realtime)", file=sys.stderr)
     ok = {k: v for k, v in results.items() if v}
     if not ok:
         print(json.dumps({"metric": "tracker_bench_x_realtime_48k",
@@ -918,7 +935,9 @@ def main():
     }))
     # A collapse below any lane's all-rounds floor beyond the tunnel-noise
     # allowance is a regression signal, not contention: nonzero exit.
-    return 2 if flagged else 0
+    # Same for a failed correctness gate (its 1x lane already dented the
+    # headline above).
+    return 2 if flagged or failed_gates else 0
 
 
 if __name__ == "__main__":

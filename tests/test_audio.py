@@ -248,3 +248,164 @@ def test_live_view_paints_from_the_delivered_pcm_tap(tmp_path,
     finally:
         r.dispatch("audio stop")
     r.dispatch("quit")
+
+
+def test_fifo_sink_requires_a_reader(tmp_path):
+    """A FIFO with no reader must NOT hang `audio start` forever: the
+    sink opens non-blocking, waits a bounded time for a reader, then
+    fails with an actionable message (review round 4)."""
+    import os
+    import pytest
+
+    fifo = tmp_path / "pcm.fifo"
+    os.mkfifo(fifo)
+    t0 = time.perf_counter()
+    with pytest.raises(OSError, match="no reader on FIFO"):
+        audio.PCMFileSink(fifo, wait_reader_secs=0.2)
+    assert time.perf_counter() - t0 < 3.0  # bounded, not forever
+    # open_sink surfaces the failure as (None, reason), not a hang.
+    sink, desc = audio.open_sink(SR, BLOCK, pcm_path=str(fifo))
+    assert sink is None and "no reader" in desc
+
+
+def test_fifo_sink_streams_to_a_reader(tmp_path, monkeypatch):
+    """With a reader attached the FIFO path works end to end, and writes
+    are blocking again (pacing relies on pipe backpressure)."""
+    import os
+    import threading
+
+    monkeypatch.setattr(audio, "FIFO_WAIT_READER_SECS", 5.0)
+    fifo = tmp_path / "pcm.fifo"
+    os.mkfifo(fifo)
+    got = []
+
+    def reader():
+        with open(fifo, "rb") as f:
+            got.append(f.read(64 * 4))
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    sink = audio.PCMFileSink(fifo)
+    data = np.linspace(-1, 1, 64, dtype=np.float32)
+    sink.write(data)
+    sink.close()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    np.testing.assert_array_equal(np.frombuffer(got[0], "<f4"), data)
+
+
+def test_call_timeout_cancels_the_command():
+    """A timed-out call() must not double-land after the caller gave up
+    (the audio thread skips a cancelled entry)."""
+    import pytest
+
+    tracker = _tracker()  # idle: renders host silence
+    pump = audio.StreamPump(tracker, FakeSink())
+    pump.start()
+    landed = []
+    try:
+        # Stall the audio thread's command drain.
+        pump.post(lambda: time.sleep(0.6))
+        time.sleep(0.05)  # let the stall start
+        with pytest.raises(TimeoutError):
+            pump.call(lambda: landed.append("x"), timeout=0.1)
+        time.sleep(1.0)  # the stall ends; the drain resumes
+        assert landed == []  # cancelled: never executed
+        # The pump is still healthy and serviceable.
+        assert pump.call(lambda: 42) == 42
+    finally:
+        pump.stop()
+    assert pump.error is None
+
+
+def test_writer_surfaces_sink_errors():
+    """A dying sink (FIFO reader gone, device yanked) must be VISIBLE:
+    pump.error set, pump no longer alive — not a silent thread death."""
+
+    class DyingSink(audio.AudioSink):
+        def __init__(self):
+            self.n = 0
+
+        def write(self, block):
+            self.n += 1
+            if self.n > 2:
+                raise ValueError("write to closed file")
+
+    tracker = _tracker()
+    pump = audio.StreamPump(tracker, DyingSink())
+    pump.start()
+    try:
+        deadline = time.time() + 10
+        while time.time() < deadline and pump.error is None:
+            time.sleep(2 * BS)
+        assert isinstance(pump.error, ValueError)
+        assert not pump.alive
+        assert pump.stats()["alive"] is False
+    finally:
+        pump.stop()
+
+
+def test_audio_restart_after_pump_death_restores_cadence(tmp_path,
+                                                         monkeypatch):
+    """Restarting audio over a DEAD pump must reap it (sink closed,
+    offline sync cadence restored) instead of clobbering the saved
+    cadence with the already-bumped value — which would leave the
+    tracker in deferred-sync streaming mode forever (review round 4)."""
+    from tuun_tpu.repl import Repl
+
+    src = tmp_path / "song.tuun"
+    src.write_text("open std;\n#{level_db=0}\n_ = $330 * 0.5;\n")
+    sinks = []
+
+    def fake_open(sr, bl, pcm_path=None):
+        sinks.append(FakeSink())
+        return sinks[-1], "fake sink"
+
+    monkeypatch.setattr(audio, "open_sink", fake_open)
+    out = io.StringIO()
+    r = Repl(sample_rate=SR, tempo=60, buffer_size=BLOCK,
+             library_root=STDLIB, precision="fast", jit=True, out=out)
+    r.dispatch(f"load {src}")
+    assert r.tracker.sync_interval == 1
+    r.dispatch("audio start")
+    assert r.tracker.sync_interval == audio.STREAM_SYNC_INTERVAL
+    # The pump dies without an `audio stop` (device error analogue).
+    r.pump.stop(close_sink=False)
+    assert not r.pump.alive
+    r.dispatch("audio start")  # restart reaps the corpse first
+    assert sinks[0].closed
+    assert r.pump is not None and r.pump.alive
+    assert r.tracker.sync_interval == audio.STREAM_SYNC_INTERVAL
+    r.dispatch("audio stop")
+    # The offline cadence survives the death/restart cycle.
+    assert r.tracker.sync_interval == 1
+    r.dispatch("quit")
+
+
+def test_dispatch_survives_a_stalled_audio_thread(tmp_path, monkeypatch):
+    """TimeoutError from the audio thread (e.g. a >2 min first compile)
+    must be reported, not tear down the live session (review round 4)."""
+    from tuun_tpu.repl import Repl
+
+    sink = FakeSink()
+    monkeypatch.setattr(audio, "open_sink",
+                        lambda sr, bl, pcm_path=None: (sink, "fake sink"))
+    src = tmp_path / "song.tuun"
+    src.write_text("open std;\n#{level_db=0}\n_ = $330 * 0.5;\n")
+    out = io.StringIO()
+    r = Repl(sample_rate=SR, tempo=60, buffer_size=BLOCK,
+             library_root=STDLIB, precision="fast", jit=True, out=out)
+    r.dispatch(f"load {src}")
+    r.dispatch("audio start")
+    try:
+        def stalled_call(fn, timeout=120.0):
+            raise TimeoutError("audio thread did not pick up the command")
+
+        monkeypatch.setattr(r.pump, "call", stalled_call)
+        r.dispatch("list")
+        assert "audio thread busy" in out.getvalue()
+        assert r.running  # the session survived
+    finally:
+        monkeypatch.undo()
+        r.dispatch("audio stop")
+    r.dispatch("quit")

@@ -773,3 +773,49 @@ def test_single_member_set_gets_lookahead_window():
         opened = opened or t._window is not None
     assert opened
     t.stop_all()
+
+
+def test_window_interrupt_refreshes_levels():
+    """The one-dispatch interrupt replay must keep per-voice levels live
+    (the window fn's level tail tracks the runtime extent, so a replay
+    of k served sub-blocks reports the k-th block's levels, not the
+    zeros past the extent) — a live session interrupts constantly and
+    would otherwise show stale HUD meters forever (review round 4)."""
+    from tuun_tpu import sliders as sliders_mod
+    from tuun_tpu.player import build_top_level_waveform
+
+    t = Tracker(100, 16, precision="fast", jit=True, sync_interval=4,
+                levels=True)
+    t.fuse = True
+    t.fuse_blocking = True
+    t.lookahead = 4
+    # Two same-structure sines (a vmapped GROUP) + one distinct single.
+    t.play(WaveformId.program(0), build_top_level_waveform(
+        ir.Sine(ir.Const(3.0), ir.Const(0.0)), 0.0))
+    t.play(WaveformId.program(1), build_top_level_waveform(
+        ir.Sine(ir.Const(7.0), ir.Const(0.0)), 0.0))
+    t.play(WaveformId.program(2), build_top_level_waveform(
+        ir.BinaryPointOp(ir.Operator.MULTIPLY, ir.Noise(),
+                         ir.Const(0.5)), 0.0))
+    for _ in range(6):
+        t.render_block()
+    assert t._window is not None  # mid-window
+    # Wipe every resolved/pending level: any nonzero below must come
+    # from the interrupt replay itself.
+    for v in t.active:
+        v.level_rms = 0.0
+        v.level_peak = 0.0
+        v._pending_v = list(v._pending_v)
+        v._pending_levels = []
+    for g in t._groups:
+        g._pending = []
+    ramp = sliders_mod.make_ramp(1.0, 0.5, 0.16)
+    t.modify(WaveformId.program(2), MarkId.AMPLITUDE, ramp)  # interrupt
+    # NO further blocks: any nonzero level below was produced by the
+    # interrupt replay's one-dispatch bookkeeping alone.
+    t._sync_voices(drain=True)
+    lv = {v.id: (v.level_rms, v.level_peak) for v in t.active}
+    assert len(lv) == 3
+    for wid in (WaveformId.program(0), WaveformId.program(1)):
+        rms, peak = lv[wid]
+        assert rms > 0 and peak > 0, (wid, rms, peak)

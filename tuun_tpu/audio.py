@@ -66,12 +66,50 @@ class SoundDeviceSink(AudioSink):
             self._stream.close()
 
 
-class PCMFileSink(AudioSink):
-    """Raw float32-LE mono PCM to a path (FIFO or file), unbuffered."""
+# How long `audio start FIFO` waits for a reader to attach before
+# giving up with an actionable message (a plain open() would hang the
+# REPL thread forever).
+FIFO_WAIT_READER_SECS = 5.0
 
-    def __init__(self, path):
+
+class PCMFileSink(AudioSink):
+    """Raw float32-LE mono PCM to a path (FIFO or file), unbuffered.
+
+    A FIFO with no reader would block a plain open() forever — ON THE
+    REPL THREAD (`audio start` runs there) — so FIFOs open non-blocking
+    with a bounded wait for a reader, then restore blocking writes
+    (pacing relies on the pipe's backpressure)."""
+
+    def __init__(self, path, wait_reader_secs: Optional[float] = None):
+        import errno
+        import fcntl
+        import os
+        import stat
         self.path = str(path)
-        self._f = open(self.path, "wb", buffering=0)
+        try:
+            is_fifo = stat.S_ISFIFO(os.stat(self.path).st_mode)
+        except OSError:
+            is_fifo = False
+        if not is_fifo:
+            self._f = open(self.path, "wb", buffering=0)
+            return
+        if wait_reader_secs is None:
+            wait_reader_secs = FIFO_WAIT_READER_SECS
+        deadline = time.monotonic() + wait_reader_secs
+        while True:
+            try:
+                fd = os.open(self.path, os.O_WRONLY | os.O_NONBLOCK)
+                break
+            except OSError as e:
+                if e.errno != errno.ENXIO or time.monotonic() >= deadline:
+                    raise OSError(
+                        f"no reader on FIFO {self.path} — start one first "
+                        f"(e.g. aplay -f FLOAT_LE -r 44100 -c 1 "
+                        f"{self.path})") from e
+                time.sleep(0.05)
+        fl = fcntl.fcntl(fd, fcntl.F_GETFL)
+        fcntl.fcntl(fd, fcntl.F_SETFL, fl & ~os.O_NONBLOCK)
+        self._f = os.fdopen(fd, "wb", buffering=0)
 
     def write(self, block: np.ndarray) -> None:
         self._f.write(np.asarray(block, "<f4").tobytes())
@@ -93,7 +131,10 @@ def open_sink(sample_rate: int, block_size: int,
     """Best available sink: an explicit PCM path wins, else a real audio
     device when sounddevice can open one, else (None, reason)."""
     if pcm_path:
-        return PCMFileSink(pcm_path), f"raw float32 PCM -> {pcm_path}"
+        try:
+            return PCMFileSink(pcm_path), f"raw float32 PCM -> {pcm_path}"
+        except OSError as e:
+            return None, str(e)
     try:
         sink = SoundDeviceSink(sample_rate, block_size)
         return sink, "sounddevice output stream"
@@ -149,7 +190,8 @@ class StreamPump:
         # GIL-atomic; readers see a consistent recent window).
         self.tap: "collections.deque[np.ndarray]" = \
             collections.deque(maxlen=64)
-        self._q: "queue.Queue[Tuple[Callable, Optional[threading.Event], List]]" \
+        # (fn, done, box, cancelled) — see call()/post().
+        self._q: "queue.Queue[Tuple[Callable, Optional[threading.Event], List, Optional[threading.Event]]]" \
             = queue.Queue()
         self._kick = threading.Event()
         self._stop = threading.Event()
@@ -196,19 +238,26 @@ class StreamPump:
     def post(self, fn: Callable[[], Any]) -> None:
         """Enqueues `fn` to run on the audio thread at the next block
         boundary (fire-and-forget)."""
-        self._q.put((fn, None, []))
+        self._q.put((fn, None, [], None))
         self._kick.set()
 
     def call(self, fn: Callable[[], Any], timeout: float = 120.0):
         """Runs `fn` on the audio thread and returns its result (or
         re-raises its exception) — the synchronous command surface the
-        REPL uses so tracker state is only ever touched on one thread."""
+        REPL uses so tracker state is only ever touched on one thread.
+        On timeout the command is CANCELLED (the audio thread skips it if
+        not yet started) so it cannot double-land after the caller gave
+        up on it."""
         done = threading.Event()
+        cancelled = threading.Event()
         box: List[Any] = []
-        self._q.put((fn, done, box))
+        self._q.put((fn, done, box, cancelled))
         self._kick.set()
         if not done.wait(timeout):
-            raise TimeoutError("audio thread did not pick up the command")
+            cancelled.set()
+            raise TimeoutError(
+                "audio thread did not pick up the command (likely a long "
+                "first compile in flight); the command was dropped")
         if box and isinstance(box[0], BaseException):
             raise box[0]
         return box[0] if box else None
@@ -218,9 +267,11 @@ class StreamPump:
     def _drain_commands(self) -> None:
         while True:
             try:
-                fn, done, box = self._q.get_nowait()
+                fn, done, box, cancelled = self._q.get_nowait()
             except queue.Empty:
                 return
+            if cancelled is not None and cancelled.is_set():
+                continue  # caller timed out and gave up; don't double-land
             try:
                 box.append(fn())
             except BaseException as e:  # surfaced at call()
@@ -314,7 +365,15 @@ class StreamPump:
             for i, row in enumerate(arr):
                 deadline = self._t0 + \
                     (k0 + i + 1 + self.ring) * self.block_secs
-                self.sink.write(row)
+                try:
+                    self.sink.write(row)
+                except Exception as e:
+                    # A dead sink (FIFO reader gone, device yanked, sink
+                    # closed by a timed-out stop) must be VISIBLE in
+                    # `audio status`, not a silent thread death.
+                    self.error = e
+                    self._stop.set()
+                    return
                 self.tap.append(row)
                 late = time.perf_counter() - deadline
                 self.worst_late = max(self.worst_late, late)

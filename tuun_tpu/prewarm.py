@@ -76,9 +76,18 @@ def start_background(tracker, evaluator,
     shutdown registry so interpreter exit never tears it down mid-
     compile).  Returns the thread, or None if it could not start."""
     from . import _threads
+    from .evaluator import Evaluator
 
     def run():
-        n = prewarm_structures(tracker, evaluator, exprs)
+        # A PRIVATE Evaluator for this thread: the session's evaluator
+        # mutates its module cache / diagnostics on every evaluate, and
+        # the session may be evaluating concurrently (live audio runs
+        # commands on its own thread).  Structure keys don't depend on
+        # tempo (const leaves are runtime params), so any tempo warms
+        # the same executables.
+        ev = Evaluator(tracker.sample_rate, 120, evaluator.library_root,
+                       print_fn=lambda s: None)
+        n = prewarm_structures(tracker, ev, exprs)
         if on_done is not None:
             try:
                 on_done(n)

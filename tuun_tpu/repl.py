@@ -101,6 +101,12 @@ class Repl:
                 handler(*args)
         except TuunError as e:
             self.log(f"error: {e}")
+        except TimeoutError as e:
+            # The audio thread can stall >2 min inside a first compile
+            # through the tunnel; pump.call then times out AND cancels
+            # the command (it will not double-land).  A stalled audio
+            # thread must not tear down the whole live session.
+            self.log(f"audio thread busy: {e}")
         except TypeError as e:
             self.log(f"usage error: {e}")
         except (ValueError, IndexError, KeyError) as e:
@@ -417,9 +423,16 @@ class Repl:
         is the one consumer of the block stream)."""
         from . import audio
         if action == "start":
-            if self.pump is not None and self.pump.alive:
-                self.log("audio already running")
-                return
+            if self.pump is not None:
+                if self.pump.alive:
+                    self.log("audio already running")
+                    return
+                # A dead pump (device error, sink gone): reap it first —
+                # stop its threads, close its sink, and restore the
+                # offline sync cadence — or the restart below would
+                # clobber _audio_prev_sync with the already-bumped value
+                # and the session could never leave streaming mode.
+                self._stop_audio()
             sink, desc = audio.open_sink(self.tracker.sample_rate,
                                          self.tracker.block_size,
                                          pcm_path=path or None)

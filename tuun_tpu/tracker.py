@@ -23,6 +23,7 @@ from the reference:
 
 from __future__ import annotations
 
+import threading as _threading
 import time as _time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -165,10 +166,18 @@ def collect_marks(w: ir.Waveform, sample_rate: int, waveform_id,
 
 
 class _CompileCache:
-    """Per-structure compile cache: same-shaped waveforms share executables."""
+    """Per-structure compile cache: same-shaped waveforms share executables.
+
+    get() is called from more than one thread (the prewarm worker runs
+    concurrently with the session thread), so the check-then-insert must
+    be atomic: two racing builders must converge on ONE CompiledVoice —
+    otherwise the loser's warmed jit caches attach to an abandoned object
+    and the first real play pays the compile the prewarm existed to hide.
+    """
 
     def __init__(self):
         self._cache: Dict[Tuple, CompiledVoice] = {}
+        self._lock = _threading.Lock()
 
     def get(self, w: ir.Waveform, cfg: EngineConfig) -> CompiledVoice:
         key = (structure_key(w, cfg.sample_rate), cfg.sample_rate,
@@ -176,8 +185,9 @@ class _CompileCache:
                cfg.timeline)
         voice = self._cache.get(key)
         if voice is None:
-            voice = CompiledVoice(w, cfg)
-            self._cache[key] = voice
+            voice = CompiledVoice(w, cfg)  # cheap: compilation is lazy
+            with self._lock:
+                voice = self._cache.setdefault(key, voice)
         return voice
 
 
@@ -1096,13 +1106,18 @@ class Tracker:
                 if kind == "s":
                     y, v, st2, _caps = impl(P, st, s0, e0)
                     mixed = y
-                    tail = y[nw - n:]
+                    # Level tail = the last SERVED sub-block: slice at the
+                    # runtime extent (e0 - n), not the static window end —
+                    # an interrupt replay (e0 = k*n < nw) has zeros past
+                    # e0, and a static tail would report silence.
+                    tail = jax.lax.dynamic_slice_in_dim(y, e0 - n, n)
                 else:
                     y, v, st2, _caps = jax.vmap(
                         impl, in_axes=(0, 0, 0, None))(
                             P, st, jnp.zeros(B, jnp.int32), e0)
                     mixed = jnp.sum(y, axis=0)
-                    tail = y[:, nw - n:]
+                    tail = jax.lax.dynamic_slice_in_dim(y, e0 - n, n,
+                                                        axis=1)
                 acc = mixed if acc is None else acc + mixed
                 vs.append(v)
                 if levels:
@@ -1227,15 +1242,23 @@ class Tracker:
                 args += [v.params, v.state]
             for g in w["groups"]:
                 args += [g.bparams, g.bstate]
-            _blocks, vs, _lvs, finals = fn(*args)
+            _blocks, vs, lvs, finals = fn(*args)
             i = 0
             for v in w["singles"]:
                 v.state = finals[i]
                 v._pending_v.append((vs[i], e))
+                if self.report_levels:
+                    # The window fn's level tail tracks the runtime
+                    # extent (last SERVED sub-block), so replay levels
+                    # stay live — the per-block replay refreshed them
+                    # too, and a live session interrupts constantly.
+                    v._pending_levels.append(lvs[i])
                 i += 1
             for g in w["groups"]:
                 g.bstate = finals[i]
-                g._pending.append((vs[i], {}, None, e))
+                g._pending.append((vs[i], {},
+                                   lvs[i] if self.report_levels else None,
+                                   e))
                 i += 1
             return
         # The window executable vanished (cache churn mid-window); a
