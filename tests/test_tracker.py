@@ -819,3 +819,69 @@ def test_window_interrupt_refreshes_levels():
     for wid in (WaveformId.program(0), WaveformId.program(1)):
         rms, peak = lv[wid]
         assert rms > 0 and peak > 0, (wid, rms, peak)
+
+
+def _drain_prefetch(t):
+    pf = t._prefetch
+    if pf is not None:
+        assert pf["done"].wait(10)
+
+
+def test_window_prefetch_adopts_and_matches_per_block():
+    """Steady-state windows adopt the speculatively dispatched next
+    window (computed on the background worker from the previous window's
+    end states) and the served audio stays exactly the per-block path's,
+    including a finite voice retiring inside a window."""
+    blocks = 24
+    ref = _window_tracker(fuse=False, lookahead=1)
+    want = [np.asarray(ref.render_block()[0]) for _ in range(blocks)]
+    t = _window_tracker(fuse=True)
+    got = []
+    for _ in range(blocks):
+        y, _ = t.render_block()
+        got.append(np.asarray(y))
+        _drain_prefetch(t)  # deterministic adoption (paced mode's sleep)
+    np.testing.assert_allclose(np.concatenate(got), np.concatenate(want),
+                               atol=1e-6)
+    # Adoption actually happened (the serve thread skipped dispatches).
+    assert t._prefetch_hits >= 2
+    t.close()
+
+
+def test_window_prefetch_invalidated_by_modify_between_windows():
+    """A Modify landing exactly at a window boundary (no interrupt — the
+    window just finalized) replaces the voice's params/state objects, so
+    the speculative next window MUST be discarded; adopting it would
+    resurrect the pre-Modify waveform for a whole window."""
+    from tuun_tpu import sliders as sliders_mod
+    ramp = sliders_mod.make_ramp(1.0, 0.5, 0.16)
+    outs = []
+    for fuse in (False, True):
+        t = _window_tracker(fuse=fuse, lookahead=4 if fuse else 1)
+        mix = []
+        for _ in range(11):  # lands on a window boundary when fused
+            mix.append(np.asarray(t.render_block()[0]))
+            if fuse:
+                _drain_prefetch(t)
+        if fuse:
+            assert t._window is None  # no interrupt: the pure
+            assert t._prefetch is not None  # ... between-windows case
+        t.modify(WaveformId.program(0), MarkId.AMPLITUDE, ramp)
+        for _ in range(10):
+            mix.append(np.asarray(t.render_block()[0]))
+            if fuse:
+                _drain_prefetch(t)
+        if fuse:
+            assert t._prefetch_misses >= 1  # the stale one was rejected
+        outs.append(np.concatenate(mix))
+        t.close()
+    np.testing.assert_allclose(outs[1], outs[0], atol=1e-6)
+
+
+def test_window_prefetch_disabled_flag():
+    t = _window_tracker(fuse=True)
+    t.prefetch_windows = False
+    for _ in range(16):
+        t.render_block()
+    assert t._prefetch_hits == 0 and t._prefetch is None
+    t.close()

@@ -620,6 +620,19 @@ class Tracker:
         # with exact block granularity (see the window methods).
         self.lookahead: Optional[int] = None
         self._window: Optional[Dict[str, Any]] = None
+        # Window prefetch: when a window opens, the NEXT window (computed
+        # from this one's end states) dispatches speculatively on a
+        # background worker, so the serve thread's steady-state cost per
+        # window is a validation + handoff instead of the host-side
+        # enqueue (0.6-2 ms through the tunnel).  Adoption is gated on
+        # INPUT IDENTITY — the prefetched call is valid iff its exact
+        # param/state objects are still the members' current ones — so
+        # any Modify/retirement/regroup/interrupt between windows makes
+        # it silently discardable (the window fn never donates).
+        self.prefetch_windows = True
+        self._prefetch: Optional[Dict[str, Any]] = None
+        self._prefetch_hits = 0
+        self._prefetch_misses = 0
 
     @property
     def known_end(self) -> Optional[int]:
@@ -1170,13 +1183,115 @@ class Tracker:
         fn = self._window_fn(key, n, K, args)
         if fn is None:
             return None
-        blocks, vs, lvs, finals = fn(*args)
+        res = self._adopt_prefetch(key, K, block_start)
+        if res is None:
+            res = fn(*args)
+        blocks, vs, lvs, finals = res
         self._window = {"blocks": blocks, "vs": vs, "lvs": lvs,
                         "finals": finals, "k": 0, "K": K, "key": key,
                         "start": block_start,
                         "singles": list(self._singles),
                         "groups": list(self._groups)}
+        if self.prefetch_windows:
+            self._submit_prefetch(key, n, K, fn, finals,
+                                  block_start + K * n)
         return self._serve_window()
+
+    def _adopt_prefetch(self, key, K: int, block_start: int):
+        """Returns the speculative next-window result if it was computed
+        from EXACTLY the current inputs (same key/K/start, same member
+        lists, and the captured param/state objects are still each
+        member's current ones — any Modify, retirement, regroup, or
+        interrupt since submission breaks identity), else None."""
+        pf, self._prefetch = self._prefetch, None
+        if pf is None:
+            return None
+        def same(a, b):  # element identity, not dataclass field ==
+            return len(a) == len(b) and all(x is y for x, y in zip(a, b))
+        valid = (pf["key"] == key and pf["K"] == K
+                 and pf["start"] == block_start
+                 and same(pf["singles"], self._singles)
+                 and same(pf["groups"], self._groups)
+                 and all(v.params is p and v.state is s
+                         for v, p, s in pf["srefs"])
+                 and all(g.bparams is p and g.bstate is s
+                         for g, p, s in pf["grefs"]))
+        with pf["lock"]:
+            started = pf["state"] != "queued"
+            if not started:
+                # Not picked up yet (worker busy/starting): dispatching
+                # inline is faster than waiting in line.
+                pf["state"] = "abandoned"
+        if not valid or not started:
+            self._prefetch_misses += 1
+            return None
+        if not pf["done"].wait(timeout=120):  # pragma: no cover
+            self._prefetch_misses += 1
+            return None
+        if pf["result"] is None:  # pragma: no cover - worker exception
+            self._prefetch_misses += 1
+            return None
+        self._prefetch_hits += 1
+        return pf["result"]
+
+    def _submit_prefetch(self, key, n: int, K: int, fn, finals,
+                         start: int) -> None:
+        """Speculatively dispatches the NEXT window from the just-opened
+        window's end states on the prefetch worker.  The window fn never
+        donates, so an unadopted prefetch is garbage-collected device
+        output — never corrupted state."""
+        import threading
+        args: List = [self._scalar(K * n)]
+        srefs = []
+        grefs = []
+        i = 0
+        for v in self._singles:
+            args += [v.params, finals[i]]
+            srefs.append((v, v.params, finals[i]))
+            i += 1
+        for g in self._groups:
+            args += [g.bparams, finals[i]]
+            grefs.append((g, g.bparams, finals[i]))
+            i += 1
+        job = {"lock": threading.Lock(), "state": "queued",
+               "done": threading.Event(), "fn": fn, "args": args,
+               "result": None, "key": key, "K": K, "start": start,
+               "singles": list(self._singles),
+               "groups": list(self._groups),
+               "srefs": srefs, "grefs": grefs}
+        self._prefetch = job
+        self._ensure_prefetcher()
+        self._prefetch_q.put(job)
+
+    def _ensure_prefetcher(self) -> None:
+        import queue as _q
+        import threading
+        if getattr(self, "_prefetch_thread", None) is not None \
+                and self._prefetch_thread.is_alive():
+            return
+        self._prefetch_q = _q.Queue()
+
+        def work():
+            while True:
+                job = self._prefetch_q.get()
+                if job is None:
+                    return
+                with job["lock"]:
+                    if job["state"] == "abandoned":
+                        job["done"].set()
+                        continue
+                    job["state"] = "running"
+                try:
+                    job["result"] = job["fn"](*job["args"])
+                except Exception:  # pragma: no cover - surfaced as miss
+                    job["result"] = None
+                job["done"].set()
+
+        from . import _threads
+        self._prefetch_thread = threading.Thread(
+            target=work, daemon=True, name="tuun-window-prefetch")
+        _threads.track_closer(self)
+        self._prefetch_thread.start()
 
     def _serve_window(self):
         w = self._window
@@ -1526,12 +1641,16 @@ class Tracker:
             self._fetch_thread.start()
 
     def close(self) -> None:
-        """Stops the background fetch worker (idempotent; the tracker
-        remains usable — the worker respawns on demand)."""
+        """Stops the background fetch/prefetch workers (idempotent; the
+        tracker remains usable — the workers respawn on demand)."""
+        from . import _threads
         t = getattr(self, "_fetch_thread", None)
         if t is not None and t.is_alive():
-            from . import _threads
             self._fetch_q.put(None)
+            t.join(timeout=_threads.SHUTDOWN_JOIN_SECONDS)
+        t = getattr(self, "_prefetch_thread", None)
+        if t is not None and t.is_alive():
+            self._prefetch_q.put(None)
             t.join(timeout=_threads.SHUTDOWN_JOIN_SECONDS)
 
     def _apply_fetched(self, block: bool = False) -> None:
