@@ -360,6 +360,37 @@ def _script_positions(n_paced: int, K: int, min_gap: int = 36):
             if K + 4 + i * gap < n_paced - 2}
 
 
+def _rehearse_live_script(tracker, play_steady, cmds, inject_at,
+                          n_paced) -> None:
+    """Rehearses the live-command walk unpaced, TWICE — the analogue of
+    the reference's precompute route (which also never compiles at
+    note-on).  Pass 1 runs with fusion OFF so every per-voice render
+    executable the interrupt-replay FALLBACK can touch gets compiled
+    (the warmup renders fused, so these otherwise trace inline on the
+    serve thread mid-run — measured ~0.5 s GIL stall exactly when a
+    command lands).  Pass 2 runs the fused/window walk as before.  Both
+    passes drain staged fetches every block: voice retirement resolves
+    one staged fetch (~1 RTT) later, which in a free-running rehearsal
+    is hundreds of blocks but in the paced phase is ~1 block — and an
+    un-drained rehearsal therefore never SEES the post-retirement set
+    keys the paced phase needs compiled.  Leaves fuse_blocking OFF
+    (the paced phase must degrade to the per-voice path instead of
+    blocking on any un-rehearsed compile)."""
+    for fuse in (False, True):
+        tracker.fuse = fuse
+        for k in range(n_paced):
+            name = inject_at.get(k)
+            if name:
+                cmds[name]()
+            tracker.render_block()
+            tracker._apply_fetched(block=True)
+        tracker.stop_all()
+        play_steady()
+    # Reset done above (same compiled objects -> same cache keys;
+    # the fused/window caches survive stop_all).
+    tracker.fuse_blocking = False
+
+
 def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=32,
                     inject=True, paced_seconds=4.0, min_gap=36):
     """Headline lane: the reference's actual operating point — the live
@@ -399,32 +430,8 @@ def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=32,
     inject_at = _script_positions(n_paced, K, min_gap) if inject else {}
 
     if inject:
-        # Rehearsal: identical command walk, unpaced, TWICE — the
-        # analogue of the reference's precompute route (which also never
-        # compiles at note-on).  Pass 1 runs with fusion OFF so every
-        # per-voice render executable the interrupt-replay FALLBACK can
-        # touch gets compiled (the warmup renders fused, so these
-        # otherwise trace inline on the serve thread mid-run — measured
-        # ~0.5 s GIL stall exactly when a command lands).  Pass 2 runs
-        # the fused/window walk as before.  Both passes drain staged
-        # fetches every block: voice retirement resolves one staged
-        # fetch (~1 RTT) later, which in a free-running rehearsal is
-        # hundreds of blocks but in the paced phase is ~1 block — and an
-        # un-drained rehearsal therefore never SEES the post-retirement
-        # set keys the paced phase needs compiled.
-        for fuse in (False, True):
-            tracker.fuse = fuse
-            for k in range(n_paced):
-                name = inject_at.get(k)
-                if name:
-                    cmds[name]()
-                tracker.render_block()
-                tracker._apply_fetched(block=True)
-            tracker.stop_all()
-            play_steady()
-        # Reset done above (same compiled objects -> same cache keys;
-        # the fused/window caches survive stop_all).
-        tracker.fuse_blocking = False
+        _rehearse_live_script(tracker, play_steady, cmds, inject_at,
+                              n_paced)
 
     # Wall-clock paced run: the serve path must hand each block off
     # before its deadline.  The lookahead window K is the pipeline's
@@ -436,6 +443,12 @@ def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=32,
     misses = 0
     worst = float("-inf")  # most-negative slack observed
     latencies = []
+    # Stall attribution: the single worst block-to-block wall-time jump
+    # (block index, seconds, and the command in flight if any) — a
+    # transient link stall and a compile landing on the serve thread
+    # look identical in the miss count but need opposite responses.
+    stall = (0.0, -1, None)
+    t_prev = time.perf_counter()
     t0 = time.perf_counter()
     for k in range(n_paced):
         name = inject_at.get(k)
@@ -445,6 +458,9 @@ def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=32,
             cmds[name]()
         y, status = tracker.render_block()
         now = time.perf_counter()
+        if now - t_prev > stall[0]:
+            stall = (now - t_prev, k, name)
+        t_prev = now
         deadline = t0 + (k + 1 + K) * block_secs
         late = now - deadline
         worst = max(worst, late)
@@ -468,8 +484,61 @@ def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=32,
           f"blocks, {n_voices} voices, K={K}; paced {n_paced} blocks, "
           f"{misses} deadline misses, worst slack {-worst * 1e3:.1f} ms; "
           f"{len(latencies)} commands injected, cmd->audible "
-          f"[{lat_str}]", file=sys.stderr)
+          f"[{lat_str}]" +
+          (f"; worst stall {stall[0] * 1e3:.0f} ms at block {stall[1]}"
+           f" (cmd={stall[2]})" if stall[0] > 2 * block_secs else ""),
+          file=sys.stderr)
     return sps, misses, max_lat, latencies
+
+
+def bench_pump(n_voices=4, block=1024, paced_seconds=5.0):
+    """Gated end-to-end lane: the PRODUCT audio path — audio.StreamPump
+    owning the live tracker on its audio thread, per-block async
+    fetches, the RING_BLOCKS output ring — with the live-command script
+    marshaled through pump.call (the reference's mpsc channel into the
+    SDL2 callback, main.rs:99-110, tracker.rs:321-329).  Unlike the
+    streaming lane (which replicates the loop inside bench.py to
+    measure cmd->audible precisely), this drives the shipped pump and
+    gates its own underrun accounting: zero blocks handed to the sink
+    after their ring deadline — i.e. the stated 93 ms output latency is
+    PROVEN end to end, commands landing mid-run."""
+    from tuun_tpu import audio
+
+    K = STREAM_K
+    tracker, play_steady, cmds = _streaming_tracker(n_voices, block, K)
+    block_secs = block / SAMPLE_RATE
+    n_paced = max(2 * K, (len(STREAM_SCRIPT) + 1) * max(K + 8, 36),
+                  int(paced_seconds * SAMPLE_RATE / block))
+    inject_at = _script_positions(n_paced, K)
+    _rehearse_live_script(tracker, play_steady, cmds, inject_at, n_paced)
+
+    pump = audio.StreamPump(tracker, audio.NullSink())
+    pump.start()
+    try:
+        while pump._t0 is None:
+            time.sleep(0.001)
+        t0 = pump._t0
+        for pos in sorted(inject_at):
+            ahead = t0 + pos * block_secs - time.perf_counter()
+            if ahead > 0:
+                time.sleep(ahead)
+            pump.call(cmds[inject_at[pos]], timeout=30.0)
+        give_up = t0 + (n_paced + pump.ring + 4) * block_secs + 10.0
+        while pump.blocks_out < n_paced and pump.error is None \
+                and time.perf_counter() < give_up:
+            time.sleep(block_secs)
+    finally:
+        pump.stop()
+    if pump.error is not None:
+        raise RuntimeError(f"pump error: {pump.error!r}")
+    st = pump.stats()
+    print(f"# pump_live_{n_voices}v: {st['blocks_out']} blocks through "
+          f"the StreamPump at ring={pump.ring} blocks "
+          f"({st['latency_ms']:.0f} ms output latency), "
+          f"{st['underruns']} underruns, worst_late {st['worst_late_ms']} "
+          f"ms, {len(inject_at)} live commands", file=sys.stderr)
+    st["n_paced"] = n_paced
+    return st
 
 
 def bench_fuzz_tpu(seed0=5000, n_seeds=24, n=256, sr=4, depth=3):
@@ -764,6 +833,12 @@ def run_one(name: str) -> int:
         sps, misses, max_lat, _ = bench_streaming(sync_interval=k)
         print(f"RESULT {sps} {misses} {max_lat}")
         return 0
+    elif name == "pump":
+        st = bench_pump()
+        ok = st["underruns"] == 0 and st["blocks_out"] >= st["n_paced"]
+        print(f"RESULT {st['underruns']} {st['worst_late_ms']} "
+              f"{st['blocks_out']}")
+        return 0 if ok else 1
     elif name == "corpus":
         ok, fail = bench_corpus()
         print(f"RESULT {ok} {fail}")
@@ -880,6 +955,38 @@ def main():
         print(f"# streaming gate FAILED (lane scored 1x realtime): runs="
               f"{[(round(s / SAMPLE_RATE), m, round(lat, 3)) for s, m, lat in streaming_runs]}",
               file=sys.stderr)
+
+    # Pump gate: the shipped audio path (StreamPump + per-block async
+    # fetches + the constant ring) must hold ZERO underruns at the stated
+    # 93 ms output latency on 3 consecutive fresh-subprocess runs, live
+    # commands landing mid-run.  Failure dents the headline the same way
+    # a failed streaming gate does (1x-realtime penalty lane).
+    pump_runs = []
+    for attempt in range(5):
+        if len(pump_runs) >= 3:
+            break
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--one", "pump"],
+                capture_output=True, text=True, timeout=600)
+            for line in proc.stderr.splitlines():
+                if line.startswith("# pump"):
+                    print(line, file=sys.stderr)
+            for line in proc.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    parts = line.split()
+                    pump_runs.append((proc.returncode, int(parts[1]),
+                                      float(parts[2])))
+        except Exception as exc:  # pragma: no cover
+            print(f"# pump run {attempt} FAILED: {exc}", file=sys.stderr)
+    if len(pump_runs) == 3 and all(rc == 0 for rc, _, _ in pump_runs):
+        print(f"# pump gate: 3/3 runs clean, 0 underruns, worst_late "
+              f"{max(w for _, _, w in pump_runs):.1f} ms at the "
+              f"93 ms ring", file=sys.stderr)
+    else:
+        results["pump_live_gate"] = float(SAMPLE_RATE)
+        print(f"# pump gate FAILED (lane scored 1x realtime): "
+              f"runs={pump_runs}", file=sys.stderr)
 
     extra_msps = {}
     # Correctness gates among the extra lanes: a nonzero subprocess exit

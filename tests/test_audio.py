@@ -107,6 +107,38 @@ def test_pump_paces_against_the_wall_clock():
     assert pump.blocks_out == n
 
 
+def test_ring_is_constant_independent_of_the_sync_window():
+    """Per-block async fetches decouple output latency from the sync
+    window: a deep lookahead (K=8) must NOT inflate the ring the way the
+    old window-batched fetch did (si + 4 blocks).  The delivered PCM
+    still matches a plain tracker exactly."""
+    w = _wave("$330 * 0.5")
+    tracker = _tracker(sync_interval=8)
+    tracker.play(WaveformId.program(0), w)
+    twin = _tracker()
+    twin.play(WaveformId.program(0), w)
+    for t in (tracker, twin):
+        for _ in range(3):
+            t.render_block()
+    sink = FakeSink()
+    pump = audio.StreamPump(tracker, sink)
+    assert pump.ring == audio.RING_BLOCKS
+    assert pump.latency_secs == audio.RING_BLOCKS * BS
+    pump.start()
+    try:
+        time.sleep(24 * BS)
+    finally:
+        pump.stop()
+    assert pump.error is None and pump.underruns == 0
+    got = sink.pcm()
+    assert len(got) >= 16 * BLOCK
+    want = []
+    for _ in range(len(got) // BLOCK):
+        y, _ = twin.render_block()
+        want.append(np.asarray(y, np.float32))
+    np.testing.assert_allclose(got, np.concatenate(want), atol=1e-6)
+
+
 def test_commands_marshal_onto_the_audio_thread():
     w = _wave("$330 * 0.5")
     note = _wave("$392 * 0.25")

@@ -17,12 +17,17 @@ Sinks, in preference order:
     (hosts without PortAudio — including this image, which has no
     /dev/snd).  Writes are naturally paced by the pump.
 
-Device blocks batch one sync window per host fetch: the tunnel's ~30 ms
-round trip per device->host copy exceeds the 23 ms block budget, so a
-per-block fetch can never keep up — the writer thread fetches each
-packed window (one RTT per sync_interval blocks) and delivers its
-blocks to the sink against their deadlines, exactly the batching the
-tracker itself uses for valid-end scalars (tracker._stage_pending).
+Device blocks are fetched PER BLOCK with asynchronous host copies
+issued at production time: the tunnel's ~30 ms round trip is latency,
+not serialization — copies in flight pipeline freely (measured 0.85
+ms/block sustained, ~0.1 ms worst paced fetch wait at a 2-block
+issue-to-use distance; docs/design.md §6c.8), and the tracker's
+lookahead windows start their blocks' copies the moment the window is
+computed (tracker._start_host_copies), so the writer thread's
+np.asarray at each deadline is a completed-copy read.  That makes the
+output-latency ring a small CONSTANT independent of the sync window —
+93 ms at 44.1 kHz — instead of the window-batched ring (sync_interval
++ 4 blocks = 186 ms) this replaced.
 """
 
 from __future__ import annotations
@@ -150,6 +155,13 @@ def open_sink(sample_rate: int, block_size: int,
 # streaming lane re-proves it with live commands every round).
 STREAM_SYNC_INTERVAL = 4
 
+# The output-latency ring, in blocks — a measured constant, independent
+# of the sync window (per-block async fetches pipeline; design.md
+# §6c.8): 2 blocks of copy issue-to-use distance + 2 blocks of
+# production/OS jitter margin = 93 ms at 44.1 kHz.  bench.py's gated
+# pump lane re-proves zero underruns at this ring every round.
+RING_BLOCKS = 4
+
 
 class StreamPump:
     """The audio thread: owns the tracker, paces blocks against the wall
@@ -158,10 +170,11 @@ class StreamPump:
     underruns (a block handed to the sink after its deadline).
 
     Output latency contract: block k is due at the sink at
-    t0 + (k + 1 + ring) * block_secs, where ring = lookahead window K
-    (blocks pre-rendered per dispatch) + sync_interval (fetch batching
-    granularity).  The producer stays ~ring blocks ahead of the clock;
-    the writer thread fetches each packed window and delivers it.
+    t0 + (k + 1 + ring) * block_secs, ring = RING_BLOCKS — a measured
+    constant (per-block async fetches pipeline through the link;
+    design.md §6c.8).  The producer stays block-paced; the writer
+    thread fetches each block (a completed-copy read) and delivers it
+    against its deadline.
     """
 
     def __init__(self, tracker, sink: AudioSink, player=None,
@@ -173,14 +186,12 @@ class StreamPump:
         self.block = tracker.block_size
         self.sample_rate = tracker.sample_rate
         self.block_secs = self.block / self.sample_rate
-        # Output latency ring: a block's PCM can only be handed over
-        # after its sync window's LAST block is produced (device blocks
-        # batch one window per host fetch), so the ring is the window
-        # depth plus a fetch/jitter margin.  The lookahead K does not
-        # add latency — windows render K blocks in one dispatch but
-        # production stays block-paced.
-        si = max(1, tracker.sync_interval)
-        self.ring = si + max(4, si // 4)
+        # Output latency ring: per-block async fetches make it a small
+        # constant independent of the sync window (the lookahead K never
+        # adds latency — windows render K blocks in one dispatch, start
+        # their host copies immediately, and production stays
+        # block-paced).
+        self.ring = RING_BLOCKS
         self.latency_secs = self.ring * self.block_secs
         self.underruns = 0
         self.blocks_out = 0
@@ -289,28 +300,9 @@ class StreamPump:
             self._wq.put(None)
 
     def _run_inner(self) -> None:
-        import jax.numpy as jnp
-
         tracker = self.tracker
-        si = max(1, tracker.sync_interval)
-        window: List = []
-        k0 = 0  # first block index of the accumulating window
         k = 0
         self._t0 = time.perf_counter()
-
-        def flush():
-            nonlocal window, k0
-            if window:
-                packed = window[0].reshape(1, -1) if len(window) == 1 \
-                    and isinstance(window[0], np.ndarray) \
-                    else jnp.stack(window)
-                try:
-                    packed.copy_to_host_async()
-                except Exception:
-                    pass
-                self._wq.put((k0, packed))
-                window = []
-            k0 = k
 
         while not self._stop.is_set():
             self._drain_commands()
@@ -319,22 +311,18 @@ class StreamPump:
             y, status = tracker.render_block()
             if self.on_status is not None:
                 self.on_status(status)
-            if isinstance(y, np.ndarray):
-                # Host block (sync_interval == 1 or an idle tracker):
-                # ship it alone, keeping FIFO order with device windows.
-                flush()
-                window = [y]
-                k += 1
-                flush()
-            else:
-                # Count-based batching (one host fetch per sync_interval
-                # blocks): the tracker's own _since_sync freezes while a
-                # lookahead window is open, so it cannot drive the flush
-                # cadence here.
-                window.append(y)
-                k += 1
-                if len(window) >= si:
-                    flush()
+            # Per-block handoff.  Device blocks start their host copy
+            # now (window-served blocks already did, at window-open —
+            # tracker._start_host_copies; repeating is a no-op), so the
+            # writer's np.asarray at the deadline is a completed-copy
+            # read, not a ~30 ms round trip (design.md §6c.8).
+            if not isinstance(y, np.ndarray):
+                try:
+                    y.copy_to_host_async()
+                except Exception:
+                    pass
+            self._wq.put((k, y))
+            k += 1
             # Pace: block k is produced not earlier than its stream time
             # (the consumer plays it `ring` blocks later).  Wake early
             # for commands — their latency budget is one block.
@@ -347,7 +335,6 @@ class StreamPump:
                     self._kick.clear()
                     if not self._q.empty():
                         self._drain_commands()
-        flush()  # deliver the partial window: no audio lost at stop
         self._wq.put(None)
 
     def _writer(self) -> None:

@@ -541,6 +541,20 @@ def _resolve_single(voice, v, e: int, caps, lv=None) -> None:
         _append_capture(voice, stem, cy, cs, cv)
 
 
+def _start_host_copies(blocks) -> None:
+    """Kicks off async device->host copies of a window's served buffers.
+    Per-block copies issued at production time pipeline freely through
+    the device link (measured: 0.85 ms/block sustained, ~0.1 ms worst
+    paced fetch wait at a 2-block issue-to-use distance — design.md
+    §6c.8), so a consumer's later np.asarray is a completed-copy read
+    instead of a synchronous ~30 ms round trip."""
+    for b in blocks:
+        try:
+            b.copy_to_host_async()
+        except Exception:  # non-array leaves / backends without the hook
+            pass
+
+
 def _staged_ready(staged) -> bool:
     """Non-blocking: has the staged window's async device->host copy
     completed? Runtimes without is_ready() resolve eagerly (blocking),
@@ -1186,6 +1200,7 @@ class Tracker:
         res = self._adopt_prefetch(key, K, block_start)
         if res is None:
             res = fn(*args)
+            _start_host_copies(res[0])
         blocks, vs, lvs, finals = res
         self._window = {"blocks": blocks, "vs": vs, "lvs": lvs,
                         "finals": finals, "k": 0, "K": K, "key": key,
@@ -1283,6 +1298,13 @@ class Tracker:
                     job["state"] = "running"
                 try:
                     job["result"] = job["fn"](*job["args"])
+                    # Start device->host copies of the window's blocks NOW
+                    # (off the serve thread): by the time each sub-block is
+                    # served and fetched by a consumer (the audio pump, an
+                    # offline writer), its host copy has already landed —
+                    # per-block fetches cost ~0.1 ms instead of the
+                    # tunnel's ~30 ms RTT (measured, design.md §6c.8).
+                    _start_host_copies(job["result"][0])
                 except Exception:  # pragma: no cover - surfaced as miss
                     job["result"] = None
                 job["done"].set()
