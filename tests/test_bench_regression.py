@@ -61,6 +61,75 @@ def test_repo_round3_numbers_pass_against_real_history():
     assert bench.flag_regressions(current) == 0
 
 
+def test_incomparable_history_is_excluded_from_the_floor(tmp_path, capsys):
+    # The streaming lane's contract changed at r04 (K=32 -> K=4, min ->
+    # median): pre-r04 rounds must not set the floor, and the exclusion
+    # must be stated in the table (VERDICT r04 weak #6 / next-round #7).
+    _record(tmp_path, "r03", [
+        "# streaming_tracker_4v: 99.0 Msamples/s (x)"])
+    _record(tmp_path, "r04", [
+        "# streaming_tracker_4v: 1.4 Msamples/s (x)"])
+    # 0.9 is 110x below the K=32-era 99.0 but only 1.6x below r04's 1.4:
+    # with the incomparable history dropped there is NO collapse flag.
+    assert bench.flag_regressions({"streaming_tracker_4v": 0.9},
+                                  tmp_path) == 0
+    err = capsys.readouterr().err
+    assert "history before r04 excluded" in err
+    assert "r03" in err
+    # With ONLY incomparable history the lane reports as new.
+    sub = tmp_path / "only_old"
+    sub.mkdir()
+    _record(sub, "r03", ["# streaming_tracker_4v: 99.0 Msamples/s (x)"])
+    assert bench.flag_regressions({"streaming_tracker_4v": 0.9}, sub) == 0
+    assert "(no history)" in capsys.readouterr().err
+
+
+def test_deadline_skip_prints_and_main_always_emits_json(monkeypatch,
+                                                         capsys):
+    # _skip: an exhausted deadline refuses the lane with the mandatory
+    # SKIPPED(budget) line.
+    monkeypatch.setattr(bench, "DEADLINE_SECS", 10.0)
+    monkeypatch.setattr(bench, "_T0", __import__("time").monotonic() - 9.0)
+    assert bench._skip("pump gate", floor=60.0)
+    assert "# pump gate SKIPPED(budget):" in capsys.readouterr().err
+    # A healthy deadline does not skip.
+    monkeypatch.setattr(bench, "_T0", __import__("time").monotonic())
+    monkeypatch.setattr(bench, "DEADLINE_SECS", 1500.0)
+    assert not bench._skip("pump gate", floor=60.0)
+    # main() must emit the one-line JSON artifact even when the lane
+    # runner dies outright (the r04 failure mode was a kill with no
+    # JSON; now any partial state flushes).
+    monkeypatch.setattr(bench, "_run_lanes",
+                        lambda *a: (_ for _ in ()).throw(RuntimeError("x")))
+    rc = bench.main()
+    out = capsys.readouterr()
+    line = [l for l in out.out.splitlines() if l.startswith("{")]
+    assert line, out.out
+    parsed = json.loads(line[-1])
+    assert parsed["metric"] == "tracker_bench_x_realtime_48k"
+    assert rc == 1  # no lane landed -> honest zero-value artifact
+
+
+def test_main_flushes_partial_results_on_interrupt(monkeypatch, capsys):
+    # A SIGTERM-style interrupt mid-run: whatever landed still produces
+    # the regression table and the JSON line.
+    def fake_lanes(results, extra_msps, failed_gates):
+        results["filter_1_1"] = 1.0e9
+        bench._STOPPING[0] = True
+
+    monkeypatch.setattr(bench, "_run_lanes", fake_lanes)
+    try:
+        rc = bench.main()
+    finally:
+        bench._STOPPING[0] = False
+    out = capsys.readouterr()
+    assert "partial results flushed" in out.err
+    parsed = json.loads(
+        [l for l in out.out.splitlines() if l.startswith("{")][-1])
+    assert parsed["value"] > 0
+    assert rc in (0, 2)
+
+
 def test_fuzz_tpu_lane_on_cpu(capsys):
     # The fuzz_tpu lane's harness, driven on the CPU backend with a small
     # seed bank: the production fast/jit render of every seed-logged tree
