@@ -441,3 +441,149 @@ def test_dispatch_survives_a_stalled_audio_thread(tmp_path, monkeypatch):
         monkeypatch.undo()
         r.dispatch("audio stop")
     r.dispatch("quit")
+
+
+# -- the real-device sink path, via a module-injected mock sounddevice --
+#
+# The image has no /dev/snd, so SoundDeviceSink's lines would otherwise
+# first run on a user's machine.  A fake `sounddevice` module pins the
+# open/write/stop/close sequencing, open_sink's preference order, and a
+# mid-stream device error surfacing in `audio status` (the reference's
+# SDL2 device open lives at main.rs:99-110).
+
+
+class _PortAudioError(Exception):
+    pass
+
+
+class _FakeStream:
+    def __init__(self, fail_after=None, stop_raises=False, **kw):
+        self.kw = kw
+        self.started = False
+        self.stopped = False
+        self.closed = False
+        self.writes = []
+        self.fail_after = fail_after
+        self.stop_raises = stop_raises
+
+    def start(self):
+        self.started = True
+
+    def stop(self):
+        self.stopped = True
+        if self.stop_raises:
+            raise _PortAudioError("stream already aborted")
+
+    def close(self):
+        self.closed = True
+
+    def write(self, arr):
+        if self.fail_after is not None and \
+                len(self.writes) >= self.fail_after:
+            raise _PortAudioError("device unplugged")
+        assert arr.dtype == np.float32 and arr.flags["C_CONTIGUOUS"]
+        self.writes.append(np.array(arr))
+
+
+def _mock_sounddevice(monkeypatch, fail_after=None, broken=False,
+                      stop_raises=False):
+    import sys
+    import types
+    mod = types.ModuleType("sounddevice")
+    streams = []
+
+    def OutputStream(**kw):
+        if broken:
+            raise _PortAudioError("no default output device")
+        st = _FakeStream(fail_after=fail_after, stop_raises=stop_raises,
+                         **kw)
+        streams.append(st)
+        return st
+
+    mod.OutputStream = OutputStream
+    mod.PortAudioError = _PortAudioError
+    monkeypatch.setitem(sys.modules, "sounddevice", mod)
+    return streams
+
+
+def test_sounddevice_sink_open_write_close_sequencing(monkeypatch):
+    streams = _mock_sounddevice(monkeypatch)
+    sink = audio.SoundDeviceSink(SR, BLOCK)
+    st = streams[0]
+    assert st.kw == {"samplerate": SR, "channels": 1,
+                     "dtype": "float32", "blocksize": BLOCK}
+    assert st.started
+    # Writes land contiguous float32 regardless of the input dtype.
+    sink.write(np.arange(BLOCK, dtype=np.float64) / BLOCK)
+    sink.write(np.zeros(BLOCK, np.float32))
+    assert len(st.writes) == 2
+    assert np.allclose(st.writes[0], np.arange(BLOCK) / BLOCK, atol=1e-6)
+    sink.close()
+    assert st.stopped and st.closed
+
+
+def test_sounddevice_sink_close_closes_even_when_stop_raises(monkeypatch):
+    streams = _mock_sounddevice(monkeypatch, stop_raises=True)
+    sink = audio.SoundDeviceSink(SR, BLOCK)
+    try:
+        sink.close()
+    except _PortAudioError:
+        pass
+    assert streams[0].closed  # the try/finally held
+
+
+def test_open_sink_prefers_explicit_pcm_path_then_sounddevice(
+        monkeypatch, tmp_path):
+    streams = _mock_sounddevice(monkeypatch)
+    # No path: the real device wins when sounddevice can open one.
+    sink, desc = audio.open_sink(SR, BLOCK)
+    assert isinstance(sink, audio.SoundDeviceSink)
+    assert "sounddevice" in desc
+    assert len(streams) == 1
+    sink.close()
+    # An explicit PCM path wins over an available device.
+    sink, desc = audio.open_sink(SR, BLOCK, pcm_path=str(tmp_path / "a.pcm"))
+    assert isinstance(sink, audio.PCMFileSink)
+    assert len(streams) == 1  # no second device open
+    sink.close()
+
+
+def test_open_sink_reports_reason_when_no_device(monkeypatch):
+    _mock_sounddevice(monkeypatch, broken=True)
+    sink, desc = audio.open_sink(SR, BLOCK)
+    assert sink is None
+    assert "_PortAudioError" in desc
+    assert "audio start PCM_PATH" in desc  # actionable fallback
+
+
+def test_device_error_mid_stream_surfaces_in_audio_status(
+        tmp_path, monkeypatch):
+    """The first minutes on a real host: audio goes live on the
+    sounddevice sink, the device dies mid-stream, and `audio status`
+    names the error instead of a silent dead thread."""
+    from tuun_tpu.repl import Repl
+
+    _mock_sounddevice(monkeypatch, fail_after=3)
+    src = tmp_path / "song.tuun"
+    src.write_text("open std;\n#{level_db=0}\n_ = $330 * 0.5;\n")
+    out = io.StringIO()
+    r = Repl(sample_rate=SR, tempo=60, buffer_size=BLOCK,
+             library_root=STDLIB, precision="fast", jit=True, out=out)
+    r.dispatch(f"load {src}")
+    r.dispatch("play A1")
+    r.dispatch("render 0.2")  # warm the compiled path before going live
+    r.dispatch("audio start")
+    try:
+        assert "audio started -> sounddevice" in out.getvalue()
+        deadline = time.time() + 10
+        while time.time() < deadline and \
+                (r.pump is None or r.pump.error is None):
+            time.sleep(BS)
+        assert isinstance(r.pump.error, _PortAudioError)
+        r.dispatch("audio status")
+        text = out.getvalue()
+        assert "alive=False" in text
+        assert "audio error: _PortAudioError('device unplugged')" in text
+    finally:
+        r.dispatch("audio stop")
+    r.dispatch("quit")
