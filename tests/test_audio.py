@@ -430,7 +430,7 @@ def test_dispatch_survives_a_stalled_audio_thread(tmp_path, monkeypatch):
     r.dispatch(f"load {src}")
     r.dispatch("audio start")
     try:
-        def stalled_call(fn, timeout=120.0):
+        def stalled_call(fn, timeout=120.0, **kw):
             raise TimeoutError("audio thread did not pick up the command")
 
         monkeypatch.setattr(r.pump, "call", stalled_call)
@@ -584,6 +584,112 @@ def test_device_error_mid_stream_surfaces_in_audio_status(
         text = out.getvalue()
         assert "alive=False" in text
         assert "audio error: _PortAudioError('device unplugged')" in text
+    finally:
+        r.dispatch("audio stop")
+    r.dispatch("quit")
+
+
+# -- compile-stall / command-wait feedback ------------------------------
+
+
+def test_stall_notes_fire_while_a_render_holds_the_audio_thread():
+    """A first compile holds the audio thread inside one render for up
+    to minutes; on_stall must fire periodically meanwhile (the REPL's
+    'compiling voice structure...' line) and go quiet once blocks flow."""
+    import threading
+
+    tracker = _tracker()
+    tracker.play(WaveformId.program(0), _wave("$330 * 0.5"))
+    tracker.render_block()  # warm: later blocks are fast
+    orig = tracker.render_block
+    stall_once = threading.Event()
+
+    def slow_render():
+        if not stall_once.is_set():
+            stall_once.set()
+            time.sleep(0.6)
+        return orig()
+
+    tracker.render_block = slow_render
+    notes = []
+    pump = audio.StreamPump(tracker, FakeSink())
+    pump.stall_note_after = 0.1
+    pump.stall_note_every = 0.1
+    pump.on_stall = notes.append
+    pump.start()
+    try:
+        deadline = time.time() + 10
+        while time.time() < deadline and len(notes) < 2:
+            time.sleep(0.02)
+        assert len(notes) >= 2, notes
+        assert notes == sorted(notes)  # waited grows across notes
+        assert notes[0] >= 0.1
+        # Once the stall clears, notes stop accumulating.
+        time.sleep(0.4)
+        n = len(notes)
+        time.sleep(0.4)
+        assert len(notes) - n <= 1  # at most one in-flight straggler
+    finally:
+        pump.stop()
+
+
+def test_call_progress_fires_while_a_command_waits():
+    tracker = _tracker()
+    tracker.play(WaveformId.program(0), _wave("$330 * 0.5"))
+    tracker.render_block()
+    pump = audio.StreamPump(tracker, FakeSink())
+    pump.start()
+    try:
+        pump.post(lambda: time.sleep(0.5))  # occupies the audio thread
+        waits = []
+        got = pump.call(lambda: 42, timeout=10.0,
+                        progress=waits.append, progress_interval=0.05)
+        assert got == 42
+        assert waits and waits == sorted(waits)
+        assert waits[-1] >= 0.1  # it really waited behind the sleeper
+    finally:
+        pump.stop()
+
+
+def test_repl_logs_compile_progress_while_play_holds_audio(
+        tmp_path, monkeypatch):
+    """The VERDICT r04 cold-start gap: a brand-new structure stalls a
+    live `play` for the compile with only 'audio thread busy' feedback.
+    Now the session says it is compiling, with elapsed seconds."""
+    import threading
+
+    from tuun_tpu.repl import Repl
+
+    src = tmp_path / "song.tuun"
+    src.write_text("open std;\n#{level_db=0}\n_ = $330 * 0.5;\n")
+    sink = FakeSink()
+    monkeypatch.setattr(audio, "open_sink",
+                        lambda sr, bl, pcm_path=None: (sink, "fake sink"))
+    out = io.StringIO()
+    r = Repl(sample_rate=SR, tempo=60, buffer_size=BLOCK,
+             library_root=STDLIB, precision="fast", jit=True, out=out)
+    r.dispatch(f"load {src}")
+    r.dispatch("play A1")
+    r.dispatch("render 0.2")
+    r.dispatch("audio start")
+    try:
+        r.pump.stall_note_after = 0.1
+        r.pump.stall_note_every = 0.1
+        orig = r.tracker.render_block
+        stalled = threading.Event()
+
+        def compile_like_stall():
+            if not stalled.is_set():
+                stalled.set()
+                time.sleep(0.5)
+            return orig()
+
+        r.tracker.render_block = compile_like_stall
+        deadline = time.time() + 10
+        while time.time() < deadline and \
+                "compiling voice structure" not in out.getvalue():
+            time.sleep(0.02)
+        assert "compiling voice structure" in out.getvalue()
     finally:
         r.dispatch("audio stop")
     r.dispatch("quit")

@@ -210,6 +210,18 @@ class StreamPump:
         self._threads: List[threading.Thread] = []
         self._t0 = None
         self.error: Optional[BaseException] = None
+        # Compile-stall feedback: while the audio thread sits inside ONE
+        # render for longer than stall_note_after seconds (a first
+        # compile through the tunnel takes 5-120 s), on_stall(waited)
+        # fires from the writer thread, then again every
+        # stall_note_every seconds until the block lands.  The REPL
+        # wires this to a "compiling voice structure..." log line so a
+        # silent first play is never mistaken for a dead session.
+        self.on_stall: Optional[Callable[[float], None]] = None
+        self.stall_note_after = 2.0
+        self.stall_note_every = 10.0
+        self._busy_since: Optional[float] = None
+        self._next_stall_note = float("inf")
 
     # -- control --------------------------------------------------------
 
@@ -252,23 +264,40 @@ class StreamPump:
         self._q.put((fn, None, [], None))
         self._kick.set()
 
-    def call(self, fn: Callable[[], Any], timeout: float = 120.0):
+    def call(self, fn: Callable[[], Any], timeout: float = 120.0,
+             progress: Optional[Callable[[float], None]] = None,
+             progress_interval: float = 2.0):
         """Runs `fn` on the audio thread and returns its result (or
         re-raises its exception) — the synchronous command surface the
         REPL uses so tracker state is only ever touched on one thread.
         On timeout the command is CANCELLED (the audio thread skips it if
         not yet started) so it cannot double-land after the caller gave
-        up on it."""
+        up on it.  `progress(waited_secs)` fires on the calling thread
+        every progress_interval seconds while the command waits (a long
+        first compile can hold the audio thread for minutes; the caller
+        can tell its user instead of sitting silent)."""
         done = threading.Event()
         cancelled = threading.Event()
         box: List[Any] = []
         self._q.put((fn, done, box, cancelled))
         self._kick.set()
-        if not done.wait(timeout):
-            cancelled.set()
-            raise TimeoutError(
-                "audio thread did not pick up the command (likely a long "
-                "first compile in flight); the command was dropped")
+        t0 = time.monotonic()
+        while True:
+            left = timeout - (time.monotonic() - t0)
+            if left <= 0:
+                cancelled.set()
+                raise TimeoutError(
+                    "audio thread did not pick up the command (likely a "
+                    "long first compile in flight); the command was "
+                    "dropped")
+            if done.wait(min(progress_interval, left) if progress
+                         else left):
+                break
+            if progress is not None and not done.is_set():
+                try:
+                    progress(time.monotonic() - t0)
+                except Exception:
+                    pass
         if box and isinstance(box[0], BaseException):
             raise box[0]
         return box[0] if box else None
@@ -308,7 +337,13 @@ class StreamPump:
             self._drain_commands()
             if self.player is not None:
                 self.player.pump()
+            # Stall window: a first compile lands inside render_block and
+            # can hold this thread for minutes; the writer thread watches
+            # _busy_since and fires on_stall notes meanwhile.
+            self._next_stall_note = self.stall_note_after
+            self._busy_since = time.perf_counter()
             y, status = tracker.render_block()
+            self._busy_since = None
             if self.on_status is not None:
                 self.on_status(status)
             # Per-block handoff.  Device blocks start their host copy
@@ -337,9 +372,33 @@ class StreamPump:
                         self._drain_commands()
         self._wq.put(None)
 
+    def _maybe_report_stall(self) -> None:
+        """Writer-thread side of the compile-stall feedback: fires
+        on_stall while one render holds the audio thread."""
+        if self.on_stall is None:
+            return
+        t = self._busy_since
+        if t is None:
+            return
+        waited = time.perf_counter() - t
+        if waited >= self._next_stall_note:
+            self._next_stall_note = waited + self.stall_note_every
+            try:
+                self.on_stall(waited)
+            except Exception:
+                pass
+
     def _writer(self) -> None:
         while True:
-            item = self._wq.get()
+            try:
+                item = self._wq.get(
+                    timeout=max(self.stall_note_after / 2, 0.05))
+            except queue.Empty:
+                # Drain until the producer's sentinel (it always lands,
+                # even on producer error): blocks already queued at stop
+                # still flush.
+                self._maybe_report_stall()
+                continue
             if item is None:
                 return
             k0, packed = item

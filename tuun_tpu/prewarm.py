@@ -26,13 +26,22 @@ from . import optimizer
 from .expr import ESeq, EWaveform
 from .player import build_top_level_waveform
 
-# The structures a fresh session is most likely to play first: a plain
-# NCO note with a symbolic length, a filtered oscillator voice, and an
-# enveloped key-style note (the keys instrument's shape).
+# The structures a fresh session is most likely to play first.  The
+# first three are the shapes of a first improvised note (NCO note with
+# symbolic length, filtered oscillator, enveloped key-style note); the
+# rest are the docs corpus's most-frequent voice STRUCTURE KEYS
+# (harvested by structure_key over every <tuun-synth> example: plain
+# infinite sine x4, square-through-lpf x5, finite plain note x3, the
+# DTMF dual tone x2 — const leaves are runtime params, so one compile
+# per structure covers every constant variation).
 COMMON_EXPRS = (
     "$440 * Qw",
     "sawtooth(110) | lpf(0.9, 1800)",
     "$440 | ADSR(0.01, 0.2, 0.6, 3000.0, 0.5)",
+    "$220",
+    "square(220) | lpf(0.707, 2000)",
+    "$261.63 | fin(time - 1.75)",
+    "($440 + $550) * 0.5",
 )
 
 

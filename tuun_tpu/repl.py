@@ -96,7 +96,19 @@ class Repl:
                 # loop against the wall clock and marshals one per-frame
                 # state read instead (running it on the audio thread
                 # would stall the block clock for its whole duration).
-                self.pump.call(lambda: handler(*args))
+                # While the command waits (a first compile can hold the
+                # audio thread for minutes) the user gets periodic
+                # progress instead of a silent prompt.
+                last = [None]
+
+                def _waiting(waited):
+                    if last[0] is None or waited - last[0] >= 10.0:
+                        last[0] = waited
+                        self.log(f"audio thread busy {waited:.0f}s — a "
+                                 "first compile may be in flight; the "
+                                 "command lands when it frees")
+
+                self.pump.call(lambda: handler(*args), progress=_waiting)
             else:
                 handler(*args)
         except TuunError as e:
@@ -448,6 +460,13 @@ class Repl:
                 self.tracker, sink, player=self.player,
                 on_status=(self.runner.observe_status
                            if self.runner is not None else None))
+            # Compile-progress feedback: a brand-new voice structure's
+            # first compile (5-120 s through the tunnel) holds the audio
+            # thread inside one render; say so instead of going silent.
+            self.pump.on_stall = lambda waited: self.log(
+                f"compiling voice structure... {waited:.0f}s (first "
+                "compiles take 5-120s; the persistent cache makes "
+                "repeats ~1s)")
             self.pump.start()
             self.log(f"audio started -> {desc} "
                      f"(output latency {self.pump.latency_secs * 1e3:.0f} ms)")
