@@ -499,6 +499,107 @@ def bench_streaming(n_voices=4, seconds=6.0, block=1024, sync_interval=32,
     return sps, misses, max_lat, latencies
 
 
+def bench_soak(n_voices=4, block=1024, n_blocks=2000, K=None,
+               verbose=False):
+    """Soak lane: the live serve path held under wall-clock pacing for
+    n_blocks (default 2000 blocks = 46 s of audio) with the live-command
+    script REPEATING for the whole run — compile caches, staged fetches,
+    the prefetch worker, and the Modify machinery under sustained load
+    (the reference is an instrument that runs for hours, main.rs:99-110;
+    the streaming gate's ~6 s phases cannot see slow leaks or the rare
+    stall classes).
+
+    Every serve-thread stall > 1 block is ATTRIBUTED: the tracker's
+    op_log records per-phase timings of each modify/play/activate, so a
+    stall either matches a command's recorded phases (named cause) or is
+    a link/GC stall (no command in flight).  Returns (misses, worst_slack,
+    stalls) where stalls is [(block, gap_s, cause)]."""
+    import gc
+
+    if K is None:
+        K = STREAM_K
+    tracker, play_steady, cmds = _streaming_tracker(n_voices, block, K)
+    block_secs = block / SAMPLE_RATE
+
+    # The repeating script: command i of cycle c lands at
+    # start + (c * len(SCRIPT) + i) * gap.  Cycle 1's set-key walk
+    # differs from later cycles (the first slider/level Modify splices a
+    # ramp where a Const sat; later cycles replace ramp with ramp), so
+    # the rehearsal below runs TWO full cycles to compile both walks.
+    gap = max(K + 8, 36)
+    start_at = K + 4
+    cycle = len(STREAM_SCRIPT) * gap
+
+    def positions(n):
+        out = {}
+        i = 0
+        while True:
+            pos = start_at + i * gap
+            if pos >= n - 2:
+                return out
+            out[pos] = STREAM_SCRIPT[i % len(STREAM_SCRIPT)]
+            i += 1
+
+    rehearse_n = start_at + 2 * cycle + gap
+    _rehearse_live_script(tracker, play_steady, cmds,
+                          positions(rehearse_n), rehearse_n)
+    inject_at = positions(n_blocks)
+
+    gc.collect()
+    gc_before = gc.get_count()
+    misses = 0
+    worst = float("-inf")
+    stalls = []  # (block, gap_seconds, cause)
+    log_seen = 0
+    t_prev = t0 = time.perf_counter()
+    for k in range(n_blocks):
+        name = inject_at.get(k)
+        if name:
+            cmds[name]()
+        y, status = tracker.render_block()
+        now = time.perf_counter()
+        gapd = now - t_prev
+        t_prev = now
+        if gapd > block_secs:
+            # Attribute: command phases recorded this block, else link.
+            entries = list(tracker.op_log)[log_seen:]
+            cause = None
+            for op, blk, tot, phases in entries:
+                if tot > 0.25 * gapd:
+                    top = sorted(phases.items(), key=lambda kv: -kv[1])[:2]
+                    cause = f"{op}[{name}] " + " ".join(
+                        f"{p}={v * 1e3:.0f}ms" for p, v in top)
+            if cause is None:
+                cause = (f"no-command ({'cmd=' + name if name else 'link'}"
+                         ")")
+            stalls.append((k, gapd, cause))
+        log_seen = len(tracker.op_log)
+        deadline = t0 + (k + 1 + K) * block_secs
+        late = now - deadline
+        worst = max(worst, late)
+        if late > 0:
+            misses += 1
+        else:
+            ahead = deadline - block_secs * K - now
+            if ahead > 0:
+                time.sleep(min(ahead, 0.25))
+    gc.collect()
+    big = [s for s in stalls if s[1] > 2 * block_secs]
+    worst_stall = max((g for _, g, _ in stalls), default=0.0)
+    print(f"# soak_{n_voices}v: {n_blocks} paced blocks "
+          f"({n_blocks * block_secs:.0f}s audio), {len(inject_at)} live "
+          f"commands, {misses} deadline misses, worst slack "
+          f"{-worst * 1e3:.1f} ms, worst stall {worst_stall * 1e3:.0f} ms, "
+          f"{len(big)} stalls >2 blocks; prefetch "
+          f"{tracker._prefetch_hits}h/{tracker._prefetch_misses}m",
+          file=sys.stderr)
+    show = stalls if verbose else big
+    for blk, g, cause in show[:20]:
+        print(f"#   soak stall {g * 1e3:.0f}ms at block {blk}: {cause}",
+              file=sys.stderr)
+    return misses, worst, stalls
+
+
 def bench_pump(n_voices=4, block=1024, paced_seconds=5.0):
     """Gated end-to-end lane: the PRODUCT audio path — audio.StreamPump
     owning the live tracker on its audio thread, per-block async
@@ -858,6 +959,17 @@ def run_one(name: str) -> int:
         sps, misses, max_lat, _ = bench_streaming(sync_interval=k)
         print(f"RESULT {sps} {misses} {max_lat}")
         return 0
+    elif name == "soak" or name.startswith("soak_"):
+        n_blocks = int(os.environ.get(
+            "TUUN_SOAK_BLOCKS", name[len("soak_"):] or "2000"))
+        misses, worst, stalls = bench_soak(n_blocks=n_blocks)
+        worst_stall = max((g for _, g, _ in stalls), default=0.0)
+        # Gate: zero misses AND worst stall <= half the K-block output
+        # window (VERDICT r04 item 2's bar; K blocks of ring = the slack
+        # the serve thread has to absorb a stall without an underrun).
+        half_window = 0.5 * STREAM_K * 1024 / SAMPLE_RATE
+        print(f"RESULT {misses} {worst} {worst_stall} {len(stalls)}")
+        return 0 if misses == 0 and worst_stall <= half_window else 1
     elif name == "pump":
         st = bench_pump()
         ok = st["underruns"] == 0 and st["blocks_out"] >= st["n_paced"]
@@ -1102,7 +1214,28 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
             print(f"# pump gate FAILED (lane scored 1x realtime): "
                   f"runs={pump_runs}", file=sys.stderr)
 
-    # 6. Reporting-only lanes, cheapest-information-first.
+    # 6. Soak gate: >=2000 wall-clock-paced blocks (~46 s of audio) with
+    # the live-command script repeating — sustained-load proof for the
+    # compile caches, staged fetches, prefetch worker, and Modify
+    # machinery (the reference runs for hours, main.rs:99-110).  One
+    # run; every stall >1 block is attributed from the tracker op_log.
+    if not _skip("soak gate", 150):
+        rc, out, errtxt = _run_sub("soak", 420)
+        for line in errtxt.splitlines():
+            if line.startswith("# soak") or line.startswith("#   soak"):
+                print(line, file=sys.stderr)
+        if rc == 0:
+            print("# soak gate: PASS", file=sys.stderr)
+        elif rc is None and (_STOPPING[0] or _remaining() - _RESERVE < 100):
+            print("# soak gate SKIPPED(budget): interrupted",
+                  file=sys.stderr)
+        else:
+            failed_gates.append("soak")
+            results["soak_gate"] = float(REALTIME_BASE)
+            print(f"# soak gate FAILED (rc={rc}; lane scored 1x realtime)",
+                  file=sys.stderr)
+
+    # 7. Reporting-only lanes, cheapest-information-first.
     for extra, tag, budget, floor in (
             ("poly_voices", "# poly_voices", 300, 70),
             ("instrument", "# instrument", 300, 70)):
@@ -1120,7 +1253,7 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
         if not hit:
             print(f"# {extra} FAILED (rc={rc})", file=sys.stderr)
 
-    # 7. Cold-start (reporting-only: it measures an experience, and a
+    # 8. Cold-start (reporting-only: it measures an experience, and a
     # transient tunnel stall there is not a correctness signal).  One
     # probe run; a second (disk-warm) only when the deadline affords it.
     if not _skip("coldstart", 90):

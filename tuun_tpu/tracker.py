@@ -23,6 +23,7 @@ from the reference:
 
 from __future__ import annotations
 
+import collections as _collections
 import threading as _threading
 import time as _time
 from dataclasses import dataclass, field
@@ -647,6 +648,12 @@ class Tracker:
         self._prefetch: Optional[Dict[str, Any]] = None
         self._prefetch_hits = 0
         self._prefetch_misses = 0
+        # Command-path phase log: every modify()/play()/activation
+        # appends (op, block_index, total_seconds, {phase: seconds}).
+        # The soak lane attributes serve-thread stalls from this ring
+        # (a transient link stall and a synchronous host round trip look
+        # identical in the miss count but need opposite responses).
+        self.op_log: _collections.deque = _collections.deque(maxlen=256)
 
     @property
     def known_end(self) -> Optional[int]:
@@ -676,12 +683,19 @@ class Tracker:
             # repetition catch-up loop forever: play once instead.
             repeat_every = None
         start = self.now if start is None else start
+        t0 = _time.perf_counter()
+        phases: Dict[str, float] = {}
         if self._window is not None and start < \
                 self._window["start"] + self._window["K"] * self.block_size:
             self._interrupt_window()
+            phases["interrupt"] = _time.perf_counter() - t0
+        t = _time.perf_counter()
         marks = collect_marks(waveform, self.sample_rate, wid, start)
+        phases["marks"] = _time.perf_counter() - t
         self.pending.append(Pending(wid, waveform, start, repeat_every, marks))
         self.pending.sort(key=lambda p: p.start)
+        self.op_log.append(("play", self.now // self.block_size,
+                            _time.perf_counter() - t0, phases))
 
     def _materialize_groups(self) -> None:
         self._sync_voices()
@@ -708,8 +722,19 @@ class Tracker:
                 not any((p.id == wid and has_mark(p.waveform))
                         for p in self.pending):
             return
+        t0 = _time.perf_counter()
+        phases: Dict[str, float] = {}
+
+        def _mark_phase(name: str, since: float) -> float:
+            now = _time.perf_counter()
+            phases[name] = phases.get(name, 0.0) + (now - since)
+            return now
+
+        t = t0
         self._interrupt_window()
+        t = _mark_phase("interrupt", t)
         self._materialize_groups()
+        t = _mark_phase("materialize", t)
         for voice in self.active:
             if voice.id == wid and has_mark(voice.waveform):
                 new_w = ir.substitute(voice.waveform, mark_id, new_waveform)
@@ -729,6 +754,7 @@ class Tracker:
                 seed = voice.host_seed if voice.host_seed is not None \
                     else int(voice.params.seed)
                 params = compiled.params_for(new_w, seed=seed)
+                t = _mark_phase("splice", t)
                 old_pos, old_rst = voice.state
                 if needs_replay:
                     # The fast path (and the timeline schedule path)
@@ -738,19 +764,24 @@ class Tracker:
                     # mid-stream, so the voice is no longer a pure
                     # function of the absolute index: stateful (and
                     # schedule-less: lits=None) from here.
+                    pos_host = int(old_pos)
+                    t = _mark_phase("pos_fetch", t)
                     old_rst = old_compiled.state_at(
-                        voice.params, int(old_pos), self.block_size)
+                        voice.params, pos_host, self.block_size)
+                    t = _mark_phase("state_at", t)
                     voice.fast = False
                 voice.lits = None
                 _, fresh_rst = compiled.init(params)
                 voice.state = (old_pos, carry_state(
                     voice.waveform, new_w, old_rst, fresh_rst,
                     replaced_mark=mark_id))
+                t = _mark_phase("carry", t)
                 voice.waveform = new_w
                 voice.compiled = compiled
                 voice.params = params
                 voice.marks = collect_marks(new_w, self.sample_rate,
                                             voice.id, voice.start)
+                t = _mark_phase("marks", t)
                 # A spliced subtree starts fresh mid-stream, so the
                 # voice's length can no longer be read off the IR from
                 # sample 0 (e.g. a stop ramp shortens it): drop to lazy
@@ -762,6 +793,8 @@ class Tracker:
                 p.waveform = ir.substitute(p.waveform, mark_id, new_waveform)
                 p.marks = collect_marks(p.waveform, self.sample_rate, p.id,
                                         p.start)
+        self.op_log.append(("modify", self.now // self.block_size,
+                            _time.perf_counter() - t0, phases))
 
     def remove_pending(self, wid) -> None:
         # No window interrupt: window eligibility guarantees every
@@ -783,16 +816,22 @@ class Tracker:
     # -- rendering -----------------------------------------------------
 
     def _activate(self, p: Pending, block_start: int) -> Voice:
+        t0 = _time.perf_counter()
+        phases: Dict[str, float] = {}
         compiled = self.cache.get(p.waveform, self.cfg)
         self._seed_counter += 1
         params = compiled.params_for(p.waveform, seed=self._seed_counter)
         state = compiled.init(params)
+        phases["build"] = _time.perf_counter() - t0
+        t = _time.perf_counter()
         voice = Voice(p.id, p.waveform, compiled, params, state, p.start,
                       list(p.marks), fast=compiled.fast_default,
                       lits=(compiled.lits_for(params)
                             if compiled.fast_default
                             or compiled._has_timeline else None),
                       host_seed=self._seed_counter)
+        phases["lits"] = _time.perf_counter() - t
+        t = _time.perf_counter()
         # Exact retirement: resolve the voice's total length up front —
         # trace-time literal for relocatable structures, oracle length()
         # otherwise (the reference's symbolic root / generate-and-scan,
@@ -807,6 +846,7 @@ class Tracker:
                 total = None
         if total is None:
             total = _voice_total_length(p.waveform, self.sample_rate)
+        phases["length"] = _time.perf_counter() - t
         voice.total_len = total
         if total is None:
             self._ends_known = False
@@ -816,12 +856,16 @@ class Tracker:
         if delta > 0:
             # Late start: catch up by rendering and discarding
             # (tracker.rs:514-537). Captures are kept (they did "happen").
+            t = _time.perf_counter()
             n = self.block_size
             off = 0
             while off < delta and not voice.finished:
                 m = min(n, delta - off)
                 self._render_voice(voice, m, 0)
                 off += m
+            phases["catchup"] = _time.perf_counter() - t
+        self.op_log.append(("activate", block_start // self.block_size,
+                            _time.perf_counter() - t0, phases))
         return voice
 
     def _render_voice(self, voice: Voice, e: int, s: int, defer: bool = False):
