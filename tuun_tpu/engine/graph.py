@@ -178,6 +178,14 @@ class Params:
     consts: jnp.ndarray          # f32[n_consts] — lifted Const leaf values
     fixeds: Tuple[jnp.ndarray, ...]  # payloads of Fixed nodes
     seed: jnp.ndarray            # uint32 scalar — noise stream id
+    # Host (numpy) mirror of the same leaves, stashed by params_for at
+    # build time (the values originate on the host).  Serve-thread
+    # consumers — Fin-cutoff concretization (lits_for) and Modify-time
+    # state reconstruction (state_at) — read it instead of paying a
+    # device->host round trip on the live command path.  Not a pytree
+    # child: tree operations (stacking, jit flattening) drop it, and
+    # every reader falls back to a device fetch when it is None.
+    host: Optional["Params"] = None
 
 
 jax.tree_util.register_pytree_node(
@@ -2108,7 +2116,22 @@ class CompiledVoice:
         key = id(P)
         lits = self._lits_cache.get(key)
         if lits is None:
-            vals = np.asarray(jax.device_get(self._lens_fn(P)))
+            vals = None
+            if P.host is not None:
+                # The cutoffs are pure functions of the params, whose
+                # values originate on the host: evaluate the lens on the
+                # CPU backend instead of paying a device round trip at
+                # every voice activation (a live note-on stalls the
+                # serve thread for the full link RTT otherwise).
+                try:
+                    cpu = jax.local_devices(backend="cpu")[0]
+                except Exception:  # pragma: no cover - cpu-less builds
+                    cpu = None
+                if cpu is not None:
+                    with jax.default_device(cpu):
+                        vals = np.asarray(self._lens_fn(P.host))
+            if vals is None:
+                vals = np.asarray(jax.device_get(self._lens_fn(P)))
             lits = tuple(int(x) for x in vals)
             # The id(P) key is only valid while P is alive: a collected
             # Params frees its id for reuse, so evict the entry the moment
@@ -2175,16 +2198,23 @@ class CompiledVoice:
     def params(self, seed: int = 0) -> Params:
         return Params(jnp.asarray(self._base_consts),
                       tuple(jnp.asarray(x) for x in self._base_fixeds),
-                      jnp.uint32(seed))
+                      jnp.uint32(seed),
+                      host=Params(np.asarray(self._base_consts, np.float32),
+                                  tuple(np.asarray(x)
+                                        for x in self._base_fixeds),
+                                  np.uint32(seed)))
 
     def params_for(self, w2: ir.Waveform, seed: int = 0) -> Params:
         """Params extracted from a same-structure waveform (e.g. after a
         slider substitution)."""
         c2 = Compiler(self.cfg)
         c2.compile(w2)
-        return Params(jnp.asarray(np.asarray(c2.const_values, np.float32)),
-                      tuple(jnp.asarray(x) for x in c2.fixed_values),
-                      jnp.uint32(seed))
+        consts_np = np.asarray(c2.const_values, np.float32)
+        fixeds_np = tuple(np.asarray(x) for x in c2.fixed_values)
+        return Params(jnp.asarray(consts_np),
+                      tuple(jnp.asarray(x) for x in fixeds_np),
+                      jnp.uint32(seed),
+                      host=Params(consts_np, fixeds_np, np.uint32(seed)))
 
     # -- state ----------------------------------------------------------
 
@@ -2225,7 +2255,10 @@ class CompiledVoice:
                     cpu = None
                 if cpu is not None:
                     lits = self.lits_for(P)  # cached from first render
-                    Pc = jax.device_put(jax.device_get(P), cpu)
+                    # The host mirror (params_for) makes this fetch-free
+                    # on the live Modify path; fetch only when absent.
+                    Pc = P.host if P.host is not None else \
+                        jax.device_put(jax.device_get(P), cpu)
                     with jax.default_device(cpu):
                         st = reconstruct_state(self.root, Pc, lits, pos)
                     # Return HOST scalars (uncommitted): the next jitted

@@ -697,8 +697,15 @@ class Tracker:
         self.op_log.append(("play", self.now // self.block_size,
                             _time.perf_counter() - t0, phases))
 
-    def _materialize_groups(self) -> None:
-        self._sync_voices()
+    def _materialize_groups(self, drain: bool = True) -> None:
+        """drain=False keeps the serve thread off the device link: the
+        staged valid-end windows go to the background fetch worker
+        instead of resolving synchronously (a full link round trip).
+        The cost is optimistic liveness — a voice whose finish is still
+        in flight stays in `active` a few blocks longer, rendering
+        zeros by the engine contract, and retires at the next sync.
+        Group materialization itself is device-op-only either way."""
+        self._sync_voices(drain=drain)
         for g in self._groups:
             g.materialize_states()
         self._groups = []
@@ -733,7 +740,15 @@ class Tracker:
         t = t0
         self._interrupt_window()
         t = _mark_phase("interrupt", t)
-        self._materialize_groups()
+        # Non-draining: a Modify needs current STATES (device-side, and
+        # the interrupt replay just advanced them to the serve point) —
+        # not the staged valid-end scalars, which only drive retirement
+        # bookkeeping.  Exact-retirement finishes are host-derived; a
+        # lazy-finish voice whose end is still in flight gets a benign
+        # zombie splice (it renders zeros and re-retires at the next
+        # sync).  Draining here cost a full link round trip per live
+        # command — the dominant serve-thread stall (design.md §6c).
+        self._materialize_groups(drain=False)
         t = _mark_phase("materialize", t)
         for voice in self.active:
             if voice.id == wid and has_mark(voice.waveform):
@@ -764,10 +779,23 @@ class Tracker:
                     # mid-stream, so the voice is no longer a pure
                     # function of the absolute index: stateful (and
                     # schedule-less: lits=None) from here.
-                    pos_host = int(old_pos)
-                    t = _mark_phase("pos_fetch", t)
+                    # The stream position is host-knowable: every render
+                    # advances it by exactly its extent, late starts
+                    # catch up at activation, and _interrupt_window just
+                    # replayed states to the serve point — so pos ==
+                    # now - start without a device round trip.  (The
+                    # fetch fallback covers a not-yet-started voice,
+                    # which cannot be active but costs nothing to guard.)
+                    pos_host = int(self.now) - int(voice.start)
+                    if pos_host < 0:
+                        pos_host = int(old_pos)
+                    t = _mark_phase("pos", t)
+                    # Replay granularity: block-size invariance is an
+                    # engine contract, so reconstruct in large blocks —
+                    # a long-lived voice's first Modify would otherwise
+                    # pay one dispatch per served block since sample 0.
                     old_rst = old_compiled.state_at(
-                        voice.params, pos_host, self.block_size)
+                        voice.params, pos_host, max(8192, self.block_size))
                     t = _mark_phase("state_at", t)
                     voice.fast = False
                 voice.lits = None
@@ -1466,7 +1494,11 @@ class Tracker:
             if p.start < block_end:
                 voice = self._activate(p, block_start)
                 self.active.append(voice)
-                self._materialize_groups()
+                # Non-draining: activation only needs group states
+                # materialized before the rebuild; retirement bookkeeping
+                # resolves at the normal sync cadence (a live note-on
+                # must not stall the serve thread on the link).
+                self._materialize_groups(drain=False)
                 if p.repeat_every is not None:
                     nxt = p.start + p.repeat_every
                     while nxt < block_start:  # skip missed repetitions
@@ -1763,10 +1795,15 @@ class Tracker:
                 self._fetch_outstanding += 1
             queue.clear()
         finished = [v for v in self.active if v.finished]
-        if finished and (queue or self._fetch_outstanding):
+        if finished and (queue or self._fetch_outstanding) and any(
+                v.captures or getattr(v.compiled, "capture_stems", True)
+                for v in finished):
             # A voice can finish (exact retirement) while windows holding
             # its capture slices are still in flight: resolve everything
             # before closing, or the capture WAVs would lose their tails.
+            # Captureless voices (the static capture_stems check) retire
+            # without this blocking round trip — their in-flight rows
+            # only re-set finished flags, which is idempotent.
             self._apply_fetched(block=True)
             for st in queue:
                 self._resolve_staged(st)
