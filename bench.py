@@ -227,12 +227,14 @@ WORKLOAD_NAMES = ["filter_1_1", "filter_1_1_linear", "filter_4_3",
 # The streaming lane's lookahead window (= stated output latency, in
 # 1024-sample blocks).  Round-4 measured curve (docs/design.md §6c.7):
 # K=8 -> 78x/0 misses, K=4 -> 38-60x/0 misses over 3 runs (cmd->audible
-# at the (K+1)-block minimum both), K=2 -> 0 misses but only 36 ms worst
-# slack (too thin for a hard gate on the tunnel's variance), K=1
-# collapses (the ~30 ms sync RTT alone exceeds the 23 ms block budget —
-# the tunnel's floor, not the TPU's).  Default: the smallest K with
-# repeated zero-miss margin.
-STREAM_K = 4
+# at the (K+1)-block minimum both), K=1 collapses (the ~30 ms sync RTT
+# alone exceeds the 23 ms block budget — the tunnel's floor, not the
+# TPU's).  K=2 (46 ms) was rejected in round 4 as too thin while an
+# un-attributed stall class survived; round 5 removed the serve
+# thread's device round trips (§6c.9) and re-measured: 2000-block soak
+# + streaming gate at K=2 hold 0 misses with worst serve stall 0 ms.
+# Default: the smallest K with soak-proven zero-miss margin.
+STREAM_K = 2
 
 # The shipped pump's output-latency ring (blocks -> ms) for the gate's
 # reporting line: the single source of truth is audio.RING_BLOCKS.
@@ -546,33 +548,66 @@ def bench_soak(n_voices=4, block=1024, n_blocks=2000, K=None,
     inject_at = positions(n_blocks)
 
     gc.collect()
-    gc_before = gc.get_count()
+    # Record every host GC pause: a gen-2 collection over the session's
+    # heap (jax caches, compiled executables) costs tens of ms and lands
+    # on whatever thread triggered allocation — including the serve
+    # thread.  The callback pair brackets each collection so stall
+    # attribution can name it.
+    gc_pauses = []  # (t_start, duration, gen)
+    _gc_t = [0.0]
+
+    def _gc_cb(phase, info):
+        if phase == "start":
+            _gc_t[0] = time.perf_counter()
+        else:
+            now = time.perf_counter()
+            gc_pauses.append((_gc_t[0], now - _gc_t[0],
+                              info.get("generation")))
+    gc.callbacks.append(_gc_cb)
     misses = 0
     worst = float("-inf")
-    stalls = []  # (block, gap_seconds, cause)
+    stalls = []  # (block, work_seconds, cause) — serve-thread occupancy
     log_seen = 0
     t_prev = t0 = time.perf_counter()
     for k in range(n_blocks):
+        t_work = time.perf_counter()
         name = inject_at.get(k)
         if name:
             cmds[name]()
         y, status = tracker.render_block()
         now = time.perf_counter()
+        # `work` is the serve thread's occupancy for this block (command
+        # + render); `gapd` additionally includes the pacing sleep and
+        # its OS overshoot.  The stall gate is on WORK — the reference's
+        # contract is callback fill time (tracker_load < 1.0,
+        # tracker.rs:342-345); scheduler jitter in the bench's own sleep
+        # is not a serve-thread stall (the deadline-miss count still
+        # charges it against the absolute pacing budget).
+        work = now - t_work
         gapd = now - t_prev
-        t_prev = now
-        if gapd > block_secs:
-            # Attribute: command phases recorded this block, else link.
+        if work > block_secs:
+            # Attribute: command/window phases recorded this block,
+            # else an overlapping GC pause, else the link itself.
             entries = list(tracker.op_log)[log_seen:]
             cause = None
             for op, blk, tot, phases in entries:
-                if tot > 0.25 * gapd:
+                if tot > 0.25 * work:
                     top = sorted(phases.items(), key=lambda kv: -kv[1])[:2]
                     cause = f"{op}[{name}] " + " ".join(
                         f"{p}={v * 1e3:.0f}ms" for p, v in top)
             if cause is None:
-                cause = (f"no-command ({'cmd=' + name if name else 'link'}"
-                         ")")
-            stalls.append((k, gapd, cause))
+                for gt, gd, gen in reversed(gc_pauses):
+                    if gt + gd > t_work and gt < now and gd > 0.25 * work:
+                        cause = f"gc gen{gen} {gd * 1e3:.0f}ms"
+                        break
+            if cause is None:
+                cause = (f"unattributed ({'cmd=' + name if name else 'link'}"
+                         f"; render {status.tracker_load * block_secs * 1e3:.0f}ms)")
+            stalls.append((k, work, cause))
+        elif gapd > 2.5 * block_secs:
+            stalls.append((k, gapd,
+                           f"pacing/OS oversleep (work {work * 1e3:.0f}ms)"))
+        t_prev = now
         log_seen = len(tracker.op_log)
         deadline = t0 + (k + 1 + K) * block_secs
         late = now - deadline
@@ -583,15 +618,21 @@ def bench_soak(n_voices=4, block=1024, n_blocks=2000, K=None,
             ahead = deadline - block_secs * K - now
             if ahead > 0:
                 time.sleep(min(ahead, 0.25))
+    gc.callbacks.remove(_gc_cb)
     gc.collect()
+    n_gc = len(gc_pauses)
+    worst_gc = max((d for _, d, _ in gc_pauses), default=0.0)
     big = [s for s in stalls if s[1] > 2 * block_secs]
-    worst_stall = max((g for _, g, _ in stalls), default=0.0)
+    worst_stall = max((g for _, g, c in stalls
+                       if not c.startswith("pacing")), default=0.0)
     print(f"# soak_{n_voices}v: {n_blocks} paced blocks "
           f"({n_blocks * block_secs:.0f}s audio), {len(inject_at)} live "
           f"commands, {misses} deadline misses, worst slack "
-          f"{-worst * 1e3:.1f} ms, worst stall {worst_stall * 1e3:.0f} ms, "
+          f"{-worst * 1e3:.1f} ms, worst serve stall "
+          f"{worst_stall * 1e3:.0f} ms, "
           f"{len(big)} stalls >2 blocks; prefetch "
-          f"{tracker._prefetch_hits}h/{tracker._prefetch_misses}m",
+          f"{tracker._prefetch_hits}h/{tracker._prefetch_misses}m; "
+          f"gc {n_gc} pauses worst {worst_gc * 1e3:.0f} ms",
           file=sys.stderr)
     show = stalls if verbose else big
     for blk, g, cause in show[:20]:
@@ -600,7 +641,7 @@ def bench_soak(n_voices=4, block=1024, n_blocks=2000, K=None,
     return misses, worst, stalls
 
 
-def bench_pump(n_voices=4, block=1024, paced_seconds=5.0):
+def bench_pump(n_voices=4, block=1024, paced_seconds=5.0, ring=None):
     """Gated end-to-end lane: the PRODUCT audio path — audio.StreamPump
     owning the live tracker on its audio thread, per-block async
     fetches, the RING_BLOCKS output ring — with the live-command script
@@ -613,7 +654,11 @@ def bench_pump(n_voices=4, block=1024, paced_seconds=5.0):
     PROVEN end to end, commands landing mid-run."""
     from tuun_tpu import audio
 
-    K = STREAM_K
+    # The SHIPPED configuration: the pump's window matches its ring
+    # (audio.STREAM_SYNC_INTERVAL), not the tracker-contract K of the
+    # streaming/soak lanes — see audio.py's constants for the measured
+    # reasoning.
+    K = audio.STREAM_SYNC_INTERVAL
     tracker, play_steady, cmds = _streaming_tracker(n_voices, block, K)
     block_secs = block / SAMPLE_RATE
     n_paced = max(2 * K, (len(STREAM_SCRIPT) + 1) * max(K + 8, 36),
@@ -621,7 +666,7 @@ def bench_pump(n_voices=4, block=1024, paced_seconds=5.0):
     inject_at = _script_positions(n_paced, K)
     _rehearse_live_script(tracker, play_steady, cmds, inject_at, n_paced)
 
-    pump = audio.StreamPump(tracker, audio.NullSink())
+    pump = audio.StreamPump(tracker, audio.NullSink(), ring=ring)
     pump.start()
     try:
         while pump._t0 is None:
@@ -650,7 +695,8 @@ def bench_pump(n_voices=4, block=1024, paced_seconds=5.0):
     return st
 
 
-def bench_fuzz_tpu(seed0=5000, n_seeds=24, n=256, sr=4, depth=3):
+def bench_fuzz_tpu(seed0=5000, n_seeds=64, n=256, sr=4, depth=None,
+                   budget=None):
     """Randomized on-TPU differential lane: seed-logged random trees
     (the tests/test_fuzz.py generator) rendered ON THE ATTACHED DEVICE
     through two precisions and diffed against the per-sample oracle:
@@ -665,17 +711,30 @@ def bench_fuzz_tpu(seed0=5000, n_seeds=24, n=256, sr=4, depth=3):
 
     This is the only correctness gate that exercises the actual TPU
     codegen (Mosaic fusions, NCO lowering, analytic-Reset tiers); the
-    CPU suites cannot see those paths.  Returns (ok, fail, skip,
-    failures)."""
+    CPU suites cannot see those paths.  Depth alternates 4/5 per seed
+    (round-5 widening: 24 seeds at depth 3 before).  `budget` (seconds,
+    default TUUN_FUZZ_BUDGET=540) bounds the lane from the inside: a
+    cold compile cache must shrink the seed count, never bust the
+    subprocess cap — completed counts are reported either way.
+    Returns (ok, fail, skip, failures)."""
     import random
 
     from tuun_tpu import engine, fuzzgen, ir, oracle, optimizer
 
+    if budget is None:
+        budget = float(os.environ.get("TUUN_FUZZ_BUDGET", "540"))
+    t_start = time.monotonic()
     ok = fail = skip = 0
     failures = []
+    class_counts: dict = {}
+    budget_stopped = None
     for seed in range(seed0, seed0 + n_seeds):
+        if time.monotonic() - t_start > budget:
+            budget_stopped = seed
+            break
         rng = random.Random(seed)
-        w = fuzzgen.random_waveform(rng, depth=depth)
+        w = fuzzgen.random_waveform(
+            rng, depth=(4 + seed % 2) if depth is None else depth)
         try:
             ref0 = oracle.render(w, n, sr, seed=seed)
         except AssertionError:
@@ -690,6 +749,9 @@ def bench_fuzz_tpu(seed0=5000, n_seeds=24, n=256, sr=4, depth=3):
         # form otherwise (noise streams are keyed by pre-order node
         # position, which optimization reshapes — see test_fuzz).
         has_noise = any(isinstance(x, ir.Noise) for x in w.walk())
+        for x in w.walk():
+            cname = type(x).__name__
+            class_counts[cname] = class_counts.get(cname, 0) + 1
         form = w if has_noise else optimizer.optimize(w)
         block = (n, 97, 64)[seed % 3]  # full-piece, odd, and small blocks
         err = None
@@ -737,13 +799,187 @@ def bench_fuzz_tpu(seed0=5000, n_seeds=24, n=256, sr=4, depth=3):
             ok += 1
     import jax as _jax
     plat = _jax.devices()[0].platform
+    done = ok + fail + skip
+    classes = " ".join(f"{k}:{v}" for k, v in sorted(class_counts.items(),
+                                                     key=lambda kv: -kv[1]))
     print(f"# fuzz_tpu: {ok} ok / {fail} fail / {skip} skip "
-          f"(seeds {seed0}..{seed0 + n_seeds - 1}, depth={depth}, n={n}, "
-          f"sr={sr}, blocks per seed%3 of {(n, 97, 64)}, fast/jit on "
-          f"{plat})", file=sys.stderr)
+          f"(seeds {seed0}..{seed0 + done - 1}"
+          + (f", budget-stopped at {budget_stopped}"
+             if budget_stopped else "")
+          + f", depth=4/5, n={n}, sr={sr}, blocks per seed%3 of "
+          f"{(n, 97, 64)}, fast+exact_df/jit on {plat}; "
+          f"node classes [{classes}])", file=sys.stderr)
     for seed, msg in failures[:8]:
         print(f"#   fuzz_tpu FAIL seed={seed}: {msg}", file=sys.stderr)
     return ok, fail, skip, failures
+
+
+def _shape_programs():
+    """The four production-shape differential classes (fixed structures:
+    the persistent compile cache makes repeat rounds ~1s per render).
+    Frequencies are deliberately non-round so NCO phase-increment
+    rounding is exercised, not hidden by exact binary fractions."""
+    TAU = 2 * math.pi
+    C = ir.Const
+
+    def mul(a, b):
+        return ir.BinaryPointOp(ir.Operator.MULTIPLY, a, b)
+
+    def add(a, b):
+        return ir.BinaryPointOp(ir.Operator.ADD, a, b)
+
+    nco = add(ir.Sine(C(TAU * 440.37), C(0.0)),
+              add(mul(ir.Sine(C(TAU * 554.12), C(0.0)), C(0.5)),
+                  mul(ir.Sine(C(TAU * 659.93), C(0.0)), C(0.25))))
+    fm = ir.Sine(add(C(TAU * 220.11),
+                     mul(ir.Sine(C(TAU * 3.7), C(0.0)), C(TAU * 55.3))),
+                 C(0.0))
+    filt = ir.Filter(ir.Sine(C(TAU * 330.41), C(0.0)),
+                     [C(0.21), C(0.34), C(0.21)], [C(0.45), C(-0.22)])
+    # The stdlib sawtooth shape (std.tuun): reset($f, -f*time), scaled.
+    saw = mul(add(ir.Reset(ir.Sine(C(TAU * 441.3), C(0.0)),
+                           mul(C(-441.3), ir.Time())),
+                  C(0.5)), C(2.0))
+    return {"nco": nco, "fm": fm, "filter": filt, "reset": saw}
+
+
+# Per-class strict bounds for the production-shape tier, exact_df vs the
+# f64-phase oracle over 2^17 samples (~3 s at 44.1 kHz).  Measured
+# headroom is recorded next to each bound (round 5, real TPU):
+# see the "# fuzz_shapes:" lane line for the live numbers each round.
+SHAPE_TOL = {"nco": 2e-4, "fm": 2e-4, "filter": 2e-4, "reset": 2e-4}
+
+
+def bench_fuzz_shapes(n=1 << 17, sr=SAMPLE_RATE):
+    """Production-shape differential tier (round 5): the NCO / FM /
+    filter / Reset classes rendered in exact_df ON THE DEVICE at real
+    production shapes — one 2^17-lane offline dispatch (~3 s of audio at
+    44.1 kHz, the offline renderer's block scale) AND 1024-lane
+    state-carried streaming blocks (the live tracker's block scale) —
+    and diffed against the per-sample oracle under the per-class strict
+    bounds in SHAPE_TOL.  The breadth tier (bench_fuzz_tpu) fuzzes tiny
+    trees; this tier proves the same codegen holds at the shapes
+    production actually renders (VERDICT r04 item 3).  Reference
+    analogue: the golden-vector harness, generator.rs:1284-1351."""
+    from tuun_tpu import engine, oracle
+
+    fail = 0
+    lines = []
+    for cname, w in _shape_programs().items():
+        ref = np.asarray(oracle.render(w, n, sr, seed=0), np.float64)
+        tol = SHAPE_TOL[cname]
+        for shape_name, blk in (("offline", n), ("stream", 1024)):
+            err = None
+            try:
+                got = engine.render(w, n, sr, precision="exact_df",
+                                    seed=0, block=blk, jit=True)
+                if len(got) != len(ref):
+                    err = f"length {len(got)} != {len(ref)}"
+                elif not np.all(np.isfinite(got)):
+                    err = "non-finite samples"
+                else:
+                    d = np.abs(np.asarray(got, np.float64) - ref)
+                    scale = max(1.0, float(np.abs(ref).max()))
+                    mx, med = float(d.max()), float(np.median(d))
+                    if mx > tol * scale:
+                        err = (f"max err {mx:.2e} > {tol:.0e}*{scale:.2f}"
+                               f" (median {med:.2e})")
+                    else:
+                        lines.append(f"{cname}/{shape_name} "
+                                     f"max={mx:.1e} med={med:.1e}")
+            except Exception as e:  # compile/render crash IS a failure
+                err = f"{type(e).__name__}: {e}"
+            if err:
+                fail += 1
+                lines.append(f"{cname}/{shape_name} FAIL: {err}")
+    import jax as _jax
+    plat = _jax.devices()[0].platform
+    print(f"# fuzz_shapes: {8 - fail} ok / {fail} fail (exact_df on "
+          f"{plat}, n={n} sr={sr}, offline 1x{n}-lane + streaming "
+          f"{n // 1024}x1024-lane; strict per-class bounds "
+          f"{sorted(SHAPE_TOL.items())})", file=sys.stderr)
+    for ln in lines:
+        print(f"#   fuzz_shapes {ln}", file=sys.stderr)
+    return fail == 0
+
+
+# A ~64-second four-class score (NCO lead / FM voice / filtered saw pad
+# / noise percussion — the production instrument families) chained with
+# the stdlib seq machinery: the long-render product proof renders it END
+# TO END (evaluate -> optimize -> TPU exact_df) and diffs every sample
+# against the native oracle.  16 segments x 4 s.
+LONGSONG_EXPR = "<[" + ", ".join(
+    seg for f_lead, f_fm, f_pad in (
+        (440.37, 220.11, 110.0), (329.63, 164.81, 82.41),
+        (493.88, 246.94, 123.47), (392.0, 196.0, 98.0))
+    for seg in (
+        f"sine(2*pi * {f_lead}, 0) * 0.4 | ADSR(0.01, 0.3, 0.2, 0.5, 3.0)"
+        " | fin(time - 4) | seq(time - 4)",
+        f"sine(2*pi * {f_fm}, 4 * sine(2*pi * 3.7, 0)) * 0.3"
+        " | fin(time - 4) | seq(time - 4)",
+        f"(sawtooth({f_pad}) + sawtooth({f_pad * 1.003:.5f})) * 0.25"
+        " | lpf(0.7, 1200) | fin(time - 4) | seq(time - 4)",
+        "noise * 0.2 | moving_average(4) | fin(time - 4) | seq(time - 4)",
+    )) + "]>"
+
+
+def bench_longrender(sr=SAMPLE_RATE, n=None):
+    """Long-render product proof (round 5, VERDICT r04 item 8): a
+    64-second four-class score rendered end to end — Tuun source through
+    the evaluator, the optimizer, and the TPU engine in exact_df — and
+    diffed SAMPLE BY SAMPLE against the native oracle
+    (native/tuun_native.cpp, the sample-exact C++ port of
+    generator.rs).  This is the df32 drift study (design.md §3b) as a
+    product test: ~2.8M samples of real score machinery (seq merges,
+    ADSR envelopes, IIR filters, reset sawtooths, keyed noise) at the
+    strict exact tolerance, not a synthetic probe.  Both sides render
+    the SAME optimized form, so position-keyed noise streams align.
+    Reference analogue: the sweep-study methodology, src/misc/sweep.rs."""
+    from tuun_tpu import engine, native
+
+    ev = Evaluator(sr, 120, STDLIB)
+    out = ev.evaluate_source(LONGSONG_EXPR, opens=("std",))
+    if isinstance(out, ESeq):
+        out = out.waveform
+    assert isinstance(out, EWaveform), f"longsong eval: {out!r}"
+    form = optimizer.optimize(out.waveform)
+    if n is None:
+        n = 64 * sr + sr // 2  # past the score's end: lengths must agree
+    t0 = time.perf_counter()
+    ref = native.render(form, n, sr, seed=0)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    got = engine.render(form, n, sr, precision="exact_df", seed=0,
+                        block=1 << 17, jit=True)
+    t_tpu = time.perf_counter() - t0
+    err = None
+    mx = med = 0.0
+    scale = 1.0
+    if len(got) != len(ref):
+        err = f"length {len(got)} != {len(ref)}"
+    elif not np.all(np.isfinite(got)):
+        err = "non-finite samples"
+    else:
+        d = np.abs(np.asarray(got, np.float64) - np.asarray(ref, np.float64))
+        scale = max(1.0, float(np.abs(ref).max()))
+        mx, med = float(d.max()), float(np.median(d))
+        if mx > LONGRENDER_TOL * scale:
+            err = f"max err {mx:.2e} > {LONGRENDER_TOL:.0e}*{scale:.2f}"
+    import jax as _jax
+    plat = _jax.devices()[0].platform
+    print(f"# longrender: {'FAIL ' + err if err else 'PASS'} — "
+          f"{len(ref)} samples ({len(ref) / sr:.1f}s at {sr} Hz) of the "
+          f"4-class score, exact_df on {plat} vs native oracle: "
+          f"max {mx:.1e} median {med:.1e} (scale {scale:.2f}, bound "
+          f"{LONGRENDER_TOL:.0e}); tpu {t_tpu:.1f}s native {t_native:.1f}s",
+          file=sys.stderr)
+    return err is None
+
+
+# Strict bound for the 64-s end-to-end render, exact_df vs the native
+# oracle (the fuzz suite's strict atol).  Measured headroom is printed
+# on the lane line each round.
+LONGRENDER_TOL = 2e-4
 
 
 def coldstart_probe():
@@ -874,9 +1110,12 @@ _NOISE_ALLOWANCE = 6.0
 # Lanes whose measurement contract changed mid-history: rounds BEFORE the
 # cut are incomparable and must not set the lane's floor.  The streaming
 # lane ran K=32 windows scored min-of-3 through r03; r04 moved to the
-# K=4 operating point (93 ms output latency) with median-of-3 scoring —
-# the r01-r03 numbers measure a different contract entirely.
-_LANE_HISTORY_SINCE = {"streaming_tracker_4v": "r04"}
+# K=4 operating point (93 ms output latency) with median-of-3 scoring;
+# r05 moved to K=2 (46 ms) after the serve thread's stall class was
+# eliminated and soak-proven — smaller windows pay more per-window
+# dispatches, so headroom numbers across K values measure different
+# contracts entirely.
+_LANE_HISTORY_SINCE = {"streaming_tracker_4v": "r05"}
 
 
 def _bench_history(root=HERE):
@@ -963,15 +1202,18 @@ def run_one(name: str) -> int:
         n_blocks = int(os.environ.get(
             "TUUN_SOAK_BLOCKS", name[len("soak_"):] or "2000"))
         misses, worst, stalls = bench_soak(n_blocks=n_blocks)
-        worst_stall = max((g for _, g, _ in stalls), default=0.0)
+        worst_stall = max((g for _, g, c in stalls
+                           if not c.startswith("pacing")), default=0.0)
         # Gate: zero misses AND worst stall <= half the K-block output
         # window (VERDICT r04 item 2's bar; K blocks of ring = the slack
         # the serve thread has to absorb a stall without an underrun).
         half_window = 0.5 * STREAM_K * 1024 / SAMPLE_RATE
         print(f"RESULT {misses} {worst} {worst_stall} {len(stalls)}")
         return 0 if misses == 0 and worst_stall <= half_window else 1
-    elif name == "pump":
-        st = bench_pump()
+    elif name == "pump" or name.startswith("pump_r"):
+        ring = int(name[len("pump_r"):]) if name.startswith("pump_r") \
+            else None
+        st = bench_pump(ring=ring)
         ok = st["underruns"] == 0 and st["blocks_out"] >= st["n_paced"]
         print(f"RESULT {st['underruns']} {st['worst_late_ms']} "
               f"{st['blocks_out']}")
@@ -983,7 +1225,13 @@ def run_one(name: str) -> int:
     elif name == "fuzz_tpu":
         ok, fail, skip, _ = bench_fuzz_tpu()
         print(f"RESULT {ok} {fail}")
-        return 0 if fail == 0 else 1
+        # A cold cache may budget-stop the lane early; 16 completed
+        # differentials is the floor below which a "pass" means nothing.
+        return 0 if fail == 0 and ok >= 16 else 1
+    elif name == "fuzz_shapes":
+        return 0 if bench_fuzz_shapes() else 1
+    elif name == "longrender":
+        return 0 if bench_longrender() else 1
     elif name == "coldstart_probe":
         return coldstart_probe()
     elif name == "coldstart":
@@ -1160,8 +1408,12 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
     # failures on the TPU, corpus render-diff failures) must fail the
     # BENCH — a 1x-realtime lane in the geomean AND a nonzero process
     # exit.  Scraping stderr alone would make these gates decorative.
-    for extra, tag, budget, floor in (("fuzz_tpu", "# fuzz_tpu", 700, 100),
-                                      ("corpus", "# corpus", 420, 100)):
+    for extra, tag, budget, floor in (("fuzz_tpu", "# fuzz_tpu", 640, 100),
+                                      ("fuzz_shapes", "# fuzz_shapes",
+                                       420, 80),
+                                      ("corpus", "# corpus", 420, 100),
+                                      ("longrender", "# longrender",
+                                       420, 90)):
         if _skip(f"{extra} gate", floor):
             continue
         rc, out, errtxt = _run_sub(extra, budget)

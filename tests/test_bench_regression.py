@@ -63,23 +63,27 @@ def test_repo_round3_numbers_pass_against_real_history():
 
 def test_incomparable_history_is_excluded_from_the_floor(tmp_path, capsys):
     # The streaming lane's contract changed at r04 (K=32 -> K=4, min ->
-    # median): pre-r04 rounds must not set the floor, and the exclusion
-    # must be stated in the table (VERDICT r04 weak #6 / next-round #7).
+    # median) and again at r05 (K=4 -> K=2 after the serve-thread stall
+    # class was eliminated): pre-cut rounds must not set the floor, and
+    # the exclusion must be stated in the table (VERDICT r04 #6/#7).
     _record(tmp_path, "r03", [
         "# streaming_tracker_4v: 99.0 Msamples/s (x)"])
     _record(tmp_path, "r04", [
+        "# streaming_tracker_4v: 9.0 Msamples/s (x)"])
+    _record(tmp_path, "r05", [
         "# streaming_tracker_4v: 1.4 Msamples/s (x)"])
-    # 0.9 is 110x below the K=32-era 99.0 but only 1.6x below r04's 1.4:
+    # 0.9 is 110x below the K=32-era 99.0 but only 1.6x below r05's 1.4:
     # with the incomparable history dropped there is NO collapse flag.
     assert bench.flag_regressions({"streaming_tracker_4v": 0.9},
                                   tmp_path) == 0
     err = capsys.readouterr().err
-    assert "history before r04 excluded" in err
-    assert "r03" in err
+    assert "history before r05 excluded" in err
+    assert "r03" in err and "r04" in err
     # With ONLY incomparable history the lane reports as new.
     sub = tmp_path / "only_old"
     sub.mkdir()
     _record(sub, "r03", ["# streaming_tracker_4v: 99.0 Msamples/s (x)"])
+    _record(sub, "r04", ["# streaming_tracker_4v: 9.0 Msamples/s (x)"])
     assert bench.flag_regressions({"streaming_tracker_4v": 0.9}, sub) == 0
     assert "(no history)" in capsys.readouterr().err
 
@@ -139,3 +143,36 @@ def test_fuzz_tpu_lane_on_cpu(capsys):
     assert ok >= 4  # the bank can't be all skips
     err = capsys.readouterr().err
     assert "# fuzz_tpu:" in err and "seeds 5000..5007" in err
+
+
+def test_fuzz_tpu_budget_stop_reports_and_counts(capsys):
+    # A lane whose internal budget expires must stop issuing seeds and
+    # say so — never bust the subprocess cap (VERDICT r04 item 1/3).
+    ok, fail, skip, _ = bench.bench_fuzz_tpu(seed0=5000, n_seeds=64,
+                                             budget=0.0)
+    assert ok + fail + skip == 0
+    err = capsys.readouterr().err
+    assert "budget-stopped at 5000" in err
+
+
+def test_fuzz_shapes_harness_on_cpu(capsys):
+    # The production-shape differential tier, shrunk to CPU scale: the
+    # four class programs render in exact_df at BOTH block shapes
+    # (one full-piece dispatch + 1024-lane state-carried blocks) and
+    # hold the strict per-class bounds vs the oracle.
+    assert bench.bench_fuzz_shapes(n=1 << 13, sr=8000)
+    err = capsys.readouterr().err
+    assert "# fuzz_shapes: 8 ok / 0 fail" in err
+    for cname in ("nco", "fm", "filter", "reset"):
+        assert f"{cname}/offline" in err and f"{cname}/stream" in err
+
+
+def test_longrender_harness_on_cpu(capsys):
+    # The long-render product proof's machinery at CPU scale: the
+    # 4-class score evaluates end to end (source -> evaluator ->
+    # optimizer), renders in exact_df, and matches the native oracle at
+    # the strict bound over its opening seconds.  (The full 64-s render
+    # runs on the TPU: bench.py --one longrender.)
+    assert bench.bench_longrender(n=2 * bench.SAMPLE_RATE)
+    err = capsys.readouterr().err
+    assert "# longrender: PASS" in err

@@ -148,11 +148,16 @@ def open_sink(sample_rate: int, block_size: int,
                       "use 'audio start PCM_PATH' for a raw-PCM FIFO")
 
 
-# The live-audio operating point: the smallest lookahead window that
-# holds zero deadline misses with repeated margin through the device
-# tunnel — K=4 blocks (93 ms), commands audible in (K+1) blocks = 116 ms
-# (docs/design.md §6c.7 for the measured K curve; bench.py's gated
-# streaming lane re-proves it with live commands every round).
+# The pump/REPL lookahead window.  The pump's output latency is set by
+# its RING (below), not by K — so the shipped window MATCHES the ring:
+# K=4 halves the window-open rate vs K=2, and with it the speculation-
+# miss exposure (a live command discards the prefetched window and the
+# replacement's host copy pays one ~30 ms tunnel RTT) — measured pump
+# margins 32-51 ms at K=4 vs 0-36 ms at K=2 (docs/design.md §6c.9).
+# The TRACKER itself holds K=2 — the 46 ms operating point, soaked over
+# 2000 paced blocks with live commands at 0 misses / 0 serve stalls
+# (bench.py's streaming + soak gates re-prove it every round); a
+# host-local TPU (sub-ms RTT) should ship K=2 with a 2-block ring.
 STREAM_SYNC_INTERVAL = 4
 
 # The output-latency ring, in blocks — a measured constant, independent
@@ -178,7 +183,8 @@ class StreamPump:
     """
 
     def __init__(self, tracker, sink: AudioSink, player=None,
-                 on_status: Optional[Callable[[Any], None]] = None):
+                 on_status: Optional[Callable[[Any], None]] = None,
+                 ring: Optional[int] = None):
         self.tracker = tracker
         self.sink = sink
         self.player = player
@@ -191,7 +197,7 @@ class StreamPump:
         # adds latency — windows render K blocks in one dispatch, start
         # their host copies immediately, and production stays
         # block-paced).
-        self.ring = RING_BLOCKS
+        self.ring = RING_BLOCKS if ring is None else ring
         self.latency_secs = self.ring * self.block_secs
         self.underruns = 0
         self.blocks_out = 0

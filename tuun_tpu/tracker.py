@@ -1269,10 +1269,21 @@ class Tracker:
         fn = self._window_fn(key, n, K, args)
         if fn is None:
             return None
+        t0 = _time.perf_counter()
         res = self._adopt_prefetch(key, K, block_start)
+        t1 = _time.perf_counter()
+        phases = {"adopt": t1 - t0}
         if res is None:
             res = fn(*args)
             _start_host_copies(res[0])
+            phases["dispatch"] = _time.perf_counter() - t1
+        # Attribution support (bench soak): window opens that cost real
+        # serve-thread time show up in the op log like commands do —
+        # "adopt" is the wait on an in-flight speculative window,
+        # "dispatch" the inline enqueue after a prefetch miss.
+        if sum(phases.values()) > 0.002:
+            self.op_log.append(("window", block_start // n,
+                                sum(phases.values()), phases))
         blocks, vs, lvs, finals = res
         self._window = {"blocks": blocks, "vs": vs, "lvs": lvs,
                         "finals": finals, "k": 0, "K": K, "key": key,
