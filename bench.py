@@ -34,7 +34,7 @@ _enable_cache()
 from tuun_tpu import ir, optimizer  # noqa: E402
 from tuun_tpu.engine import CompiledVoice, EngineConfig  # noqa: E402
 from tuun_tpu.evaluator import Evaluator  # noqa: E402
-from tuun_tpu.expr import ESeq, EWaveform  # noqa: E402
+from tuun_tpu.expr import ESeq, ETuple, EWaveform  # noqa: E402
 
 SAMPLE_RATE = 44100
 REALTIME_BASE = 48000.0
@@ -1004,7 +1004,11 @@ def coldstart_probe():
             tracker = Tracker(SAMPLE_RATE, 1024, precision="fast",
                               jit=True, levels=True)
             t0 = time.perf_counter()
-            out = ev.evaluate_source(text, opens=("std",))
+            out = ev.evaluate_source(text, opens=("std", "pm_synth"))
+            if isinstance(out, ETuple):
+                # keys instruments: (note_on, note_off) — time the
+                # note_on body, the structure a first keypress compiles
+                out = out.exprs[0]
             if isinstance(out, ESeq):
                 out = out.waveform
             assert isinstance(out, EWaveform), text

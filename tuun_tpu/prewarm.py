@@ -23,7 +23,7 @@ import threading
 from typing import Iterable, Optional
 
 from . import optimizer
-from .expr import ESeq, EWaveform
+from .expr import ESeq, ETuple, EWaveform
 from .player import build_top_level_waveform
 
 # The structures a fresh session is most likely to play first.  The
@@ -42,12 +42,18 @@ COMMON_EXPRS = (
     "square(220) | lpf(0.707, 2000)",
     "$261.63 | fin(time - 1.75)",
     "($440 + $550) * 0.5",
+    # The pm_synth instrument shapes (examples/song.tuun's brass line
+    # and the keys instrument the REPL installs with `keys`): the FM
+    # phase-modulation structure is the most expensive first compile a
+    # fresh session is likely to hit.
+    "pm_brass(@60, 0.5)",
+    "pm_piano_keys(60, 100)",
 )
 
 
 def prewarm_structures(tracker, evaluator,
                        exprs: Iterable[str] = COMMON_EXPRS,
-                       opens=("std",)) -> int:
+                       opens=("std", "pm_synth")) -> int:
     """Compiles each expression's voice structure through `tracker`'s
     own cache and runs one block-sized dispatch.  Returns the number of
     structures warmed; never raises (a pre-warm failure must not take
@@ -61,18 +67,25 @@ def prewarm_structures(tracker, evaluator,
             out = evaluator.evaluate_source(text, opens=tuple(opens))
             if isinstance(out, ESeq):
                 out = out.waveform
-            if not isinstance(out, EWaveform):
-                continue
-            w = build_top_level_waveform(optimizer.optimize(out.waveform),
-                                         0.0)
-            voice = tracker.cache.get(w, tracker.cfg)
-            P = voice.params()
-            state = voice.init(P)
-            fn = voice.render_fn(tracker.block_size, P=P)
-            y, v, state, _ = fn(P, state, jnp.int32(0),
-                                jnp.int32(tracker.block_size))
-            jax.block_until_ready((y, state))
-            warmed += 1
+            # Keys instruments return (note_on, note_off) tuples; warm
+            # every waveform element (the note_on body is the expensive
+            # structure, the note_off release is cheap but free to bake).
+            parts = out.exprs if isinstance(out, ETuple) else (out,)
+            for part in parts:
+                if isinstance(part, ESeq):
+                    part = part.waveform
+                if not isinstance(part, EWaveform):
+                    continue
+                w = build_top_level_waveform(
+                    optimizer.optimize(part.waveform), 0.0)
+                voice = tracker.cache.get(w, tracker.cfg)
+                P = voice.params()
+                state = voice.init(P)
+                fn = voice.render_fn(tracker.block_size, P=P)
+                y, v, state, _ = fn(P, state, jnp.int32(0),
+                                    jnp.int32(tracker.block_size))
+                jax.block_until_ready((y, state))
+                warmed += 1
         except Exception:
             continue
     return warmed
