@@ -136,23 +136,47 @@ def test_main_flushes_partial_results_on_interrupt(monkeypatch, capsys):
 
 def test_fuzz_tpu_lane_on_cpu(capsys):
     # The fuzz_tpu lane's harness, driven on the CPU backend with a small
-    # seed bank: the production fast/jit render of every seed-logged tree
-    # must hold the differential suite's statistical gates vs the oracle.
-    ok, fail, skip, failures = bench.bench_fuzz_tpu(seed0=5000, n_seeds=8)
+    # case bank (4 structures x 2 const-jitter variants): the production
+    # fast/jit render of every case must hold the differential suite's
+    # statistical gates vs the oracle.
+    ok, fail, skip, failures = bench.bench_fuzz_tpu(seed0=5000,
+                                                    n_structs=4,
+                                                    n_variants=2)
     assert fail == 0, failures
     assert ok >= 4  # the bank can't be all skips
     err = capsys.readouterr().err
-    assert "# fuzz_tpu:" in err and "seeds 5000..5007" in err
+    assert "# fuzz_tpu:" in err and "seeds 5000..5003" in err
+    assert "2 const-jitter variants" in err
 
 
 def test_fuzz_tpu_budget_stop_reports_and_counts(capsys):
-    # A lane whose internal budget expires must stop issuing seeds and
+    # A lane whose internal budget expires must stop issuing cases and
     # say so — never bust the subprocess cap (VERDICT r04 item 1/3).
-    ok, fail, skip, _ = bench.bench_fuzz_tpu(seed0=5000, n_seeds=64,
-                                             budget=0.0)
+    ok, fail, skip, _ = bench.bench_fuzz_tpu(seed0=5000, budget=0.0)
     assert ok + fail + skip == 0
     err = capsys.readouterr().err
-    assert "budget-stopped at 5000" in err
+    assert "budget-stopped at 5000/v0" in err
+
+
+def test_jitter_consts_preserves_compiled_structure():
+    # Variants must reuse the base structure's executable: identical
+    # structure_key, identical tree shape, with Reset-trigger and
+    # Fin-length consts frozen (they bake into the executable).
+    import random
+
+    from tuun_tpu import fuzzgen, ir
+    from tuun_tpu.engine import structure_key
+
+    for seed in range(5000, 5016):
+        rng = random.Random(seed)
+        w0 = fuzzgen.random_waveform(rng, depth=4 + seed % 2)
+        wv = fuzzgen.jitter_consts(w0, random.Random(seed * 1000 + 1))
+        assert structure_key(w0, 44100) == structure_key(wv, 44100), seed
+        # At least one movable const actually moved for trees that
+        # have any (zeros and frozen contexts legitimately pin some).
+        consts0 = [x.value for x in w0.walk() if isinstance(x, ir.Const)]
+        constsv = [x.value for x in wv.walk() if isinstance(x, ir.Const)]
+        assert len(consts0) == len(constsv), seed
 
 
 def test_fuzz_shapes_harness_on_cpu(capsys):

@@ -108,12 +108,58 @@ def ill_conditioned(w: ir.Waveform, n: int, sr: int, seed: int) -> bool:
     """Any subtree blowing past 1e5 amplifies f32 last-bit rounding
     chaotically (e.g. sin() of a 1e9-magnitude phase from an unstable
     feedback filter has zero significant bits); differential comparison
-    of such trees is meaningless."""
+    of such trees is meaningless.
+
+    Sine PHASE arguments get a much tighter bound (100 ≈ 32π): sin has
+    unit sensitivity to its argument, so a phase computed two
+    legitimate f32 ways (the oracle's sequential per-sample order vs
+    the TPU's fused/reassociated order) differs by ~|phase|·κ·eps, and
+    with κ ~ 10²–10³ from a chaotic upstream (a noise-fed time-varying
+    feedback filter) a 270-magnitude phase already moves sin by ~2e-2 —
+    measured on seed 5000 (round 5): TPU median error 0.021 while the
+    CPU engine agreed with the oracle to 1e-6.  Musical phases are
+    radians-scale; huge raw phases only arise in fuzz artifacts."""
+    phase_roots = set()
+    for sub in w.walk():
+        if isinstance(sub, ir.Sine):
+            phase_roots.add(id(sub.phase))
     for sub in w.walk():
         try:
             v = oracle.render(sub, n, sr, seed=seed)
         except Exception:
             return True
-        if len(v) and np.nanmax(np.abs(v)) > 1e5:
-            return True
+        if len(v):
+            mx = np.nanmax(np.abs(v))
+            if mx > 1e5:
+                return True
+            if id(sub) in phase_roots and mx > 100.0:
+                return True
     return False
+
+
+def jitter_consts(w: ir.Waveform, rng: random.Random) -> ir.Waveform:
+    """A const-perturbed variant with the SAME compiled structure.
+
+    Every Const leaf scales by a factor in [0.75, 1.25] (zeros stay
+    zero, signs preserved) — except inside Reset triggers and Fin
+    lengths, whose concrete values bake into the executable (analytic
+    edge algebra / host-fetched cutoff lits; engine.structure_key) and
+    would force a fresh XLA compile.  Same tree shape + same frozen
+    values -> identical HLO -> the engine and the persistent compile
+    cache reuse the structure's executable, so a batch of variants
+    costs one compile plus cheap dispatches (bench.py fuzz_tpu,
+    VERDICT r04 item 3)."""
+    def go(x: ir.Waveform, frozen: bool) -> ir.Waveform:
+        if isinstance(x, ir.Const):
+            if frozen or x.value == 0:
+                return x
+            return ir.Const(round(x.value * (0.75 + 0.5 * rng.random()), 4))
+        if isinstance(x, ir.Reset):
+            return ir.Reset(go(x.trigger, True), go(x.waveform, frozen))
+        if isinstance(x, ir.Fin):
+            return ir.Fin(go(x.length, True), go(x.waveform, frozen))
+        kids = x.children()
+        if not kids:
+            return x
+        return x.replace_children(tuple(go(c, frozen) for c in kids))
+    return go(w, False)
