@@ -105,7 +105,13 @@ def workloads():
 # only, at a block size sized to the piece.
 WORKLOAD_AUDIO_SECONDS = {"marks_4_40": 80.0, "poly_16": 80.0,
                           "large_440": 1.0}
-WORKLOAD_BLOCKS = {"large_440": 1 << 16}
+# poly_16's whole 80 s piece renders as ONE fused block: throughput is
+# dispatch-bound either way (~2 Gs/s at one dispatch per pass), but each
+# sub-render in the fused executable multiplies Mosaic compile time —
+# the 4x 2^20-block form cold-compiled in 300+s through the tunnel
+# (r05's first driver-budget casualty), the single-block form in ~60 s.
+WORKLOAD_BLOCKS = {"large_440": 1 << 16,
+                   "poly_16": int(80.0 * SAMPLE_RATE)}
 # Short pieces are enqueue-bound even at one dispatch per pass: fuse
 # several independent passes per executable (note_fn's batch-renderer
 # mode).  Measured 667 -> ~3,300-3,500 Ms/s for large_440; the
@@ -1281,13 +1287,16 @@ def run_one(name: str) -> int:
 # The suite must ALWAYS land its one-line JSON artifact inside the
 # driver's budget: a global wall-clock deadline (TUUN_BENCH_DEADLINE,
 # seconds) bounds the whole run, lanes execute in priority order
-# (headline workloads -> streaming gate -> fuzz_tpu -> corpus -> pump ->
-# poly -> instrument -> coldstart), any lane the remaining budget cannot
-# afford is skipped with an explicit SKIPPED(budget) line (a skipped
-# gate is NOT a failed gate), and the final JSON prints from an
-# idempotent finalizer that also runs on SIGTERM/SIGINT — a partial
-# flush instead of a silent kill.  Round 4's artifact was destroyed by
-# exactly that kill (BENCH_r04.json: rc=124, parsed=null).
+# (headline workloads -> streaming gate -> fuzz_tpu -> fuzz_shapes ->
+# corpus -> longrender -> pump -> soak -> poly -> instrument ->
+# coldstart), every gate RESERVES its floor against all earlier lanes
+# (GATE_FLOORS — one slow lane costs one lane, never the gate record),
+# any lane the affordable budget cannot cover is skipped with an
+# explicit SKIPPED(budget) line (a skipped gate is NOT a failed gate),
+# and the final JSON prints from an idempotent finalizer that also runs
+# on SIGTERM/SIGINT — a partial flush instead of a silent kill.  Round
+# 4's artifact was destroyed by exactly that kill (BENCH_r04.json:
+# rc=124, parsed=null).
 
 DEADLINE_SECS = float(os.environ.get("TUUN_BENCH_DEADLINE", "1500"))
 _T0 = time.monotonic()
@@ -1298,6 +1307,38 @@ _CHILD: list = [None]    # the in-flight lane subprocess, for the handler
 
 def _remaining() -> float:
     return DEADLINE_SECS - (time.monotonic() - _T0)
+
+
+# Gates later in the schedule RESERVE their minimum budgets against every
+# lane that runs before them: a slow early lane may spend only down to the
+# sum of the floors still owed downstream, so one bad lane costs one lane,
+# never the round's gate record (r05's first full run: poly_16 cold-
+# compiled for 780 s and every gate after streaming printed
+# SKIPPED(budget)).  A floor is one warmed-cache attempt, not a worst-case
+# cold compile — on a day the tunnel denies even that, the gate records
+# SKIPPED(timeout) explicitly instead of silently starving.
+GATE_FLOORS = (("streaming", 120), ("fuzz_tpu", 100), ("fuzz_shapes", 80),
+               ("corpus", 100), ("longrender", 90), ("pump", 120),
+               ("soak", 150))
+
+
+def _downstream_floor(name: str = None) -> float:
+    """Sum of floors owed to gates scheduled after `name` (all of them
+    when name is None — the headline-workload section runs first)."""
+    tot = 0.0
+    seen = name is None
+    for n, f in GATE_FLOORS:
+        if seen:
+            tot += f
+        if n == name:
+            seen = True
+    return tot
+
+
+def _afford(name: str = None) -> float:
+    """Seconds the current lane may still spend without eating a
+    downstream gate's floor."""
+    return _remaining() - _RESERVE - _downstream_floor(name)
 
 
 def _on_signal(signum, frame):  # pragma: no cover - signal delivery
@@ -1347,13 +1388,15 @@ def _run_sub(lane: str, timeout: float, env_extra: dict = None):
     return rc, out or "", err or ""
 
 
-def _skip(name: str, floor: float) -> bool:
+def _skip(name: str, floor: float, after: str = "") -> bool:
     """True (and prints the mandatory SKIPPED line) when the remaining
-    deadline cannot afford a lane needing at least `floor` seconds."""
-    left = _remaining() - _RESERVE
+    deadline cannot afford a lane needing at least `floor` seconds.
+    `after` names the lane's slot in GATE_FLOORS (None = before all
+    gates): lanes scheduled later keep their reserved floors."""
+    left = _remaining() - _RESERVE if after == "" else _afford(after)
     if _STOPPING[0] or left < floor:
         why = "interrupted" if _STOPPING[0] else \
-            f"{left:.0f}s left < {floor:.0f}s floor"
+            f"{left:.0f}s affordable < {floor:.0f}s floor"
         print(f"# {name} SKIPPED(budget): {why}", file=sys.stderr)
         return True
     return False
@@ -1365,12 +1408,14 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
     # same graph), and a timed-out first attempt leaves its completed
     # compiles in the persistent cache for the retry to pick up.
     for name in WORKLOAD_NAMES:
-        if _skip(name, 60):
+        if _skip(name, 60, after=None):
             results[name] = None
             continue
         sps = err = None
         for attempt in range(2):
-            rc, out, errtxt = _run_sub(name, 300 if attempt == 0 else 480)
+            rc, out, errtxt = _run_sub(name,
+                                       min(240 if attempt == 0 else 300,
+                                           _afford(None)))
             for line in out.splitlines():
                 if line.startswith("RESULT "):
                     sps = float(line.split()[1])
@@ -1378,7 +1423,7 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
                 break
             err = "timeout" if rc is None else \
                 " | ".join((errtxt or "").strip().splitlines()[-3:])
-            if _STOPPING[0] or _remaining() - _RESERVE < 90:
+            if _STOPPING[0] or _afford(None) < 90:
                 break
         results[name] = sps
         if sps:
@@ -1399,12 +1444,14 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
     # headline as a 1x lane plus a nonzero exit.  The median headroom is
     # recorded for the regression history as an informational lane.
     lat_budget = (STREAM_K + 2) * 1024 / SAMPLE_RATE
-    if not _skip("streaming gate", 120):
+    if not _skip("streaming gate", 120, after="streaming"):
         streaming_runs = []
         for attempt in range(4):
-            if len(streaming_runs) >= 3 or _skip("streaming run", 100):
+            if len(streaming_runs) >= 3 or \
+                    _skip("streaming run", 100, after="streaming"):
                 break
-            rc, out, errtxt = _run_sub("streaming", 300)
+            rc, out, errtxt = _run_sub(
+                "streaming", min(240, _afford("streaming")))
             sps = misses = max_lat = None
             for line in out.splitlines():
                 if line.startswith("RESULT "):
@@ -1436,7 +1483,7 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
             # A gate failure must SHOW in the headline: the lane scores
             # 1x realtime (the contract boundary).  An interrupt that
             # prevented 3 runs is a skip, not a failure.
-            if _STOPPING[0] or _remaining() - _RESERVE < 100:
+            if _STOPPING[0] or _afford("streaming") < 100:
                 print("# streaming gate SKIPPED(budget): "
                       f"{len(streaming_runs)}/3 runs completed",
                       file=sys.stderr)
@@ -1461,18 +1508,19 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
                                       ("corpus", "# corpus", 360, 100),
                                       ("longrender", "# longrender",
                                        360, 90)):
-        if _skip(f"{extra} gate", floor):
+        if _skip(f"{extra} gate", floor, after=extra):
             continue
-        env = {"TUUN_FUZZ_BUDGET": max(60, budget - 180)} \
-            if extra == "fuzz_tpu" else None
         rc = None
         for attempt in range(2):
-            rc, out, errtxt = _run_sub(extra, budget, env_extra=env)
+            cap = min(budget, _afford(extra))
+            env = {"TUUN_FUZZ_BUDGET": max(60, int(cap) - 150)} \
+                if extra == "fuzz_tpu" else None
+            rc, out, errtxt = _run_sub(extra, cap, env_extra=env)
             for line in errtxt.splitlines():
                 if line.startswith(tag) or line.startswith("#   "):
                     print(line, file=sys.stderr)
             if rc is not None or _STOPPING[0] or \
-                    _remaining() - _RESERVE < floor:
+                    _afford(extra) < floor:
                 break
             print(f"# {extra} gate TIMEOUT (attempt {attempt}); "
                   "retrying on the warmed cache", file=sys.stderr)
@@ -1495,12 +1543,13 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
     # fetches + the constant ring) must hold ZERO underruns at the
     # stated output latency on 3 fresh-subprocess runs, live commands
     # landing mid-run.
-    if not _skip("pump gate", 120):
+    if not _skip("pump gate", 120, after="pump"):
         pump_runs = []
         for attempt in range(4):
-            if len(pump_runs) >= 3 or _skip("pump run", 100):
+            if len(pump_runs) >= 3 or _skip("pump run", 100, after="pump"):
                 break
-            rc, out, errtxt = _run_sub("pump", 300)
+            rc, out, errtxt = _run_sub("pump",
+                                       min(240, _afford("pump")))
             for line in errtxt.splitlines():
                 if line.startswith("# pump"):
                     print(line, file=sys.stderr)
@@ -1517,7 +1566,7 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
             print(f"# pump gate: 3/3 runs clean, 0 underruns, worst_late "
                   f"{max(w for _, _, w in pump_runs):.1f} ms at the "
                   f"{RING_MS:.0f} ms ring", file=sys.stderr)
-        elif _STOPPING[0] or _remaining() - _RESERVE < 100:
+        elif _STOPPING[0] or _afford("pump") < 100:
             print(f"# pump gate SKIPPED(budget): {len(pump_runs)}/3 runs "
                   "completed", file=sys.stderr)
         else:
@@ -1531,15 +1580,15 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
     # compile caches, staged fetches, prefetch worker, and Modify
     # machinery (the reference runs for hours, main.rs:99-110).  One
     # run; every stall >1 block is attributed from the tracker op_log.
-    if not _skip("soak gate", 150):
+    if not _skip("soak gate", 150, after="soak"):
         rc = None
         for attempt in range(2):
-            rc, out, errtxt = _run_sub("soak", 360)
+            rc, out, errtxt = _run_sub("soak", min(360, _afford("soak")))
             for line in errtxt.splitlines():
                 if line.startswith("# soak") or line.startswith("#   soak"):
                     print(line, file=sys.stderr)
             if rc is not None or _STOPPING[0] or \
-                    _remaining() - _RESERVE < 150:
+                    _afford("soak") < 150:
                 break
             print("# soak gate TIMEOUT; retrying on the warmed cache",
                   file=sys.stderr)

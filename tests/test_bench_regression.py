@@ -114,6 +114,33 @@ def test_deadline_skip_prints_and_main_always_emits_json(monkeypatch,
     assert rc == 1  # no lane landed -> honest zero-value artifact
 
 
+def test_gate_floors_reserve_budget_against_earlier_lanes(monkeypatch,
+                                                          capsys):
+    # r05's first full run: poly_16 cold-compiled for 780 s and starved
+    # every downstream gate.  The floors make that impossible: with 900 s
+    # left, a headline workload (before all gates) may spend only
+    # 900 - reserve - sum(floors) and must SKIP below 60 s affordable,
+    # while the LAST gate (soak) still sees nearly the whole remainder.
+    import time as _time
+    monkeypatch.setattr(bench, "DEADLINE_SECS", 900.0)
+    monkeypatch.setattr(bench, "_T0", _time.monotonic())
+    total_floors = sum(f for _, f in bench.GATE_FLOORS)
+    assert total_floors == 760
+    aff_workload = bench._afford(None)
+    assert aff_workload < 900 - total_floors  # reserve also held back
+    assert bench._afford("soak") > 850
+    # streaming's affordance excludes every floor after it, not its own.
+    assert abs(bench._afford("streaming") -
+               (bench._afford("soak") - (total_floors - 120))) < 1.0
+    # With only the floors left, a workload skips but the gates run.
+    monkeypatch.setattr(bench, "_T0",
+                        _time.monotonic() - (900 - total_floors - 20))
+    assert bench._skip("marks_4_40", 60, after=None)
+    assert "# marks_4_40 SKIPPED(budget)" in capsys.readouterr().err
+    assert not bench._skip("fuzz_tpu gate", 100, after="fuzz_tpu")
+    assert not bench._skip("soak gate", 150, after="soak")
+
+
 def test_main_flushes_partial_results_on_interrupt(monkeypatch, capsys):
     # A SIGTERM-style interrupt mid-run: whatever landed still produces
     # the regression table and the JSON line.
