@@ -1221,8 +1221,55 @@ def flag_regressions(current_msps: dict, root=HERE) -> int:
     return flagged
 
 
+def _absorb_first_fetch():
+    """Starts the lane's FIRST device->host readback on a daemon thread,
+    concurrent with evaluation/trace/compile (which never read back).
+
+    Measured on the tunnel (2026-08-21): a fresh process's first
+    readback can stall 2-5+ minutes while every later fetch is ~30 ms —
+    a per-process transport-channel pathology, not compute.  Absorbing
+    it in parallel with lane setup turns setup+stall into
+    max(setup, stall); the returned closure reports the measured stall
+    for the lane tail so a timeout is attributable to the LINK, not the
+    lane ("#   link: first-fetch ...s" — forwarded by the gate parents'
+    '#   ' prefix rule)."""
+    import threading
+
+    done = {}
+
+    def probe():
+        t0 = time.monotonic()
+        try:
+            import jax.numpy as jnp
+            np.asarray(jnp.zeros(8, jnp.float32))
+            done["t"] = time.monotonic() - t0
+        except Exception as e:  # pragma: no cover - device-dependent
+            done["err"] = f"{type(e).__name__}: {e}"
+
+    t_start = time.monotonic()
+    threading.Thread(target=probe, daemon=True).start()
+
+    def report():
+        if "err" in done:
+            print(f"#   link: first-fetch probe failed: {done['err']}",
+                  file=sys.stderr)
+        elif "t" not in done:
+            print(f"#   link: first-fetch STILL STALLED after "
+                  f"{time.monotonic() - t_start:.0f}s", file=sys.stderr)
+        elif done["t"] > 5.0:
+            print(f"#   link: first-fetch stalled {done['t']:.0f}s "
+                  "(absorbed concurrently with lane setup)",
+                  file=sys.stderr)
+
+    report.done = done
+    return report
+
+
 def run_one(name: str) -> int:
     """Subprocess entry: bench one workload, print 'RESULT <sps>'."""
+    import atexit
+
+    atexit.register(_absorb_first_fetch())
     if name == "poly_voices":
         sps = bench_polyphony(256)
     elif name == "instrument":
@@ -1403,19 +1450,30 @@ def _skip(name: str, floor: float, after: str = "") -> bool:
 
 
 def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
-    # 1. Headline workloads — two attempts each: TPU compile times
-    # through the tunnel are nondeterministic (observed 3-500s for the
-    # same graph), and a timed-out first attempt leaves its completed
-    # compiles in the persistent cache for the retry to pick up.
+    # 0. Link-health attribution: probe the parent's own first readback
+    # (bounded wait — the report thread keeps timing in the background
+    # and the atexit report records the final verdict).  When the tunnel
+    # readback path is sick, every fetch-bearing lane below will time
+    # out; this line tells the reader WHY the tail is full of skips.
+    import atexit
+    probe_report = _absorb_first_fetch()
+    atexit.register(probe_report)
+    t_wait = time.monotonic()
+    while not probe_report.done and time.monotonic() - t_wait < 20.0:
+        time.sleep(0.25)
+    probe_report()
+
+    # 1. Headline workloads — one bounded attempt each: every workload
+    # is a single fused executable now, so a killed attempt loses its
+    # in-flight compile and a timeout-retry restarts from zero (it only
+    # re-spends budget); a crash (nonzero rc) retries once.
     for name in WORKLOAD_NAMES:
         if _skip(name, 60, after=None):
             results[name] = None
             continue
         sps = err = None
         for attempt in range(2):
-            rc, out, errtxt = _run_sub(name,
-                                       min(240 if attempt == 0 else 300,
-                                           _afford(None)))
+            rc, out, errtxt = _run_sub(name, min(300, _afford(None)))
             for line in out.splitlines():
                 if line.startswith("RESULT "):
                     sps = float(line.split()[1])
@@ -1423,7 +1481,7 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
                 break
             err = "timeout" if rc is None else \
                 " | ".join((errtxt or "").strip().splitlines()[-3:])
-            if _STOPPING[0] or _afford(None) < 90:
+            if rc is None or _STOPPING[0] or _afford(None) < 90:
                 break
         results[name] = sps
         if sps:
@@ -1459,7 +1517,8 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
                     sps, misses = float(parts[1]), int(parts[2])
                     max_lat = float(parts[3])
             for line in errtxt.splitlines():
-                if line.startswith("# streaming"):
+                if line.startswith("# streaming") or \
+                        line.startswith("#   link"):
                     print(line, file=sys.stderr)
             if sps is not None:
                 streaming_runs.append((sps, misses, max_lat))
@@ -1551,7 +1610,8 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
             rc, out, errtxt = _run_sub("pump",
                                        min(240, _afford("pump")))
             for line in errtxt.splitlines():
-                if line.startswith("# pump"):
+                if line.startswith("# pump") or \
+                        line.startswith("#   link"):
                     print(line, file=sys.stderr)
             got = False
             for line in out.splitlines():
@@ -1585,7 +1645,8 @@ def _run_lanes(results: dict, extra_msps: dict, failed_gates: list) -> None:
         for attempt in range(2):
             rc, out, errtxt = _run_sub("soak", min(360, _afford("soak")))
             for line in errtxt.splitlines():
-                if line.startswith("# soak") or line.startswith("#   soak"):
+                if line.startswith("# soak") or \
+                        line.startswith(("#   soak", "#   link")):
                     print(line, file=sys.stderr)
             if rc is not None or _STOPPING[0] or \
                     _afford("soak") < 150:
