@@ -52,6 +52,24 @@ from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
+
+# The engine computes Fin-cutoff literals, symbolic lengths, and eager
+# 1-lane reloc evaluations ON THE HOST CPU BACKEND (lits_for/symbolic_len
+# below): on a remote-device platform each would otherwise cost a device
+# round trip per voice activation — and through the tunnel the process's
+# FIRST device->host readback can stall minutes (measured 2026-08-21).
+# A pinned JAX_PLATFORMS=<device> hides the CPU backend entirely, so
+# widen the pin to include cpu BEFORE any device constant is created
+# (harmless when unpinned or already-initialized: the first platform in
+# the list stays the default device, and every local_devices(
+# backend="cpu") caller already falls back to the main device).
+try:  # pragma: no cover - config-state dependent
+    _plats = jax.config.jax_platforms
+    if _plats and "cpu" not in _plats.split(","):
+        jax.config.update("jax_platforms", _plats + ",cpu")
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
